@@ -1,0 +1,312 @@
+"""CSR <-> CSR5 conversion (the asCSR5 / asCSR analogue).
+
+Re-designs the reference conversion pipeline
+(``anonymouslibHandle::asCSR5``, ``CSR5_cuda/anonymouslib_cuda.h:106-220``;
+kernels in ``CSR5_cuda/detail/cuda/format_cuda.h``) as fully vectorised
+array transforms. Stage-by-stage correspondence:
+
+==========================================  ===============================
+reference kernel                            here
+==========================================  ===============================
+generate_partition_pointer_s1 (binary       ``tile_partition_pointer``
+search, format_cuda.h:21-42)                (searchsorted; jittable)
+generate_partition_pointer_s2 (empty-row    ``tile_dirty_flags``
+dirty bit, format_cuda.h:44-95)             (prefix-count of empty rows)
+generate_partition_descriptor_s1 (bit       ``_descriptor`` (vectorised
+flags via atomicOr, format_cuda.h:129-159)  scatter + packbits)
+generate_partition_descriptor_s2            ``_descriptor`` (popcount
+(y_offset/scansum via warp scan,            prefix + next-flagged-lane
+format_cuda.h:161-267)                      distance)
+generate_partition_descriptor_s3 +          ``_empty_offsets``
+_offset (empty-row indirection,             (vectorised searchsorted)
+format_cuda.h:269-523)
+aosoa_transpose (smem tile transpose,       reshape (p, omega, sigma) ->
+format_cuda.h:525-744)                      swapaxes -> (p, sigma, omega)
+==========================================  ===============================
+
+On top of the parity metadata, the conversion emits the *TPU execution
+plan* (NOTES.md): per-tile distinct x-page lists for the in-kernel gather
+and monotone row-end window maps for the segmented sum. Both are pure
+derivations of (row_ptr, col_idx, omega, sigma).
+
+The driver is host-side vectorised numpy (conversion is one-time
+preprocessing, exactly like the reference's asCSR5 phase, and ragged
+outputs -- empty_offset, page lists -- need data-dependent shapes that jit
+cannot produce in one pass). The hot sub-steps also exist as jitted JAX
+functions for on-device use; ``convert_timings`` reports the same phase
+breakdown the reference prints (anonymouslib_cuda.h:211-214).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AUTO_TUNED_SIGMA, CSR5Config, compute_sigma
+from ..models.formats import CSR5Matrix, CSRMatrix
+
+#: columns per x-page = one (8, 128) f32 VMEM slice (NOTES.md gather design)
+PAGE_COLS = 1024
+
+
+# ---------------------------------------------------------------------------
+# jittable parity stages
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_tiles", "tile_nnz"))
+def tile_partition_pointer(row_ptr: jax.Array, num_tiles: int, tile_nnz: int) -> jax.Array:
+    """tile_ptr[t] = row containing nonzero t*tile_nnz.
+
+    Parity with generate_partition_pointer_s1_kernel (format_cuda.h:21-42):
+    binary-search the right boundary of row_ptr for each tile boundary.
+    """
+    bounds = jnp.arange(num_tiles + 1, dtype=jnp.int64) * tile_nnz
+    idx = jnp.searchsorted(row_ptr.astype(jnp.int64), bounds, side="right") - 1
+    return jnp.clip(idx, 0, row_ptr.shape[0] - 1).astype(jnp.int32)
+
+
+@jax.jit
+def tile_dirty_flags(row_ptr: jax.Array, tile_ptr: jax.Array) -> jax.Array:
+    """dirty[t] = tile's row range contains an empty row.
+
+    Parity with generate_partition_pointer_s2_kernel (format_cuda.h:44-95,
+    dirty-bit mask at :92). The row owning the tile's first nonzero is never
+    empty, so only rows strictly inside (tile_ptr[t], tile_ptr[t+1]) matter.
+    """
+    empty = (jnp.diff(row_ptr) == 0).astype(jnp.int32)
+    e_prefix = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(empty)])
+    start, stop = tile_ptr[:-1], tile_ptr[1:]
+    return (e_prefix[stop + 1] - e_prefix[start + 1]) > 0
+
+
+# ---------------------------------------------------------------------------
+# host-side vectorised conversion
+# ---------------------------------------------------------------------------
+
+
+def _pow2_at_least(x: int, lo: int) -> int:
+    v = lo
+    while v < x:
+        v *= 2
+    return v
+
+
+def _descriptor(
+    heads: np.ndarray, p: int, sigma: int, omega: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """bit_flag words + y_offset + seg_offset + per-tile segment counts.
+
+    heads: (p*sigma*omega,) bool, True where a nonzero begins a row, with
+    the tile-leading bit forced (format_cuda.h:161-267 semantics).
+    Element (t, s, l) = flat t*T + l*sigma + s, so reshape to (p, omega,
+    sigma): lane-major element order.
+    """
+    fl = heads.reshape(p, omega, sigma)
+    # pack along sigma into ceil(sigma/32) uint32 words per lane
+    nwords = (sigma + 31) // 32
+    pad = nwords * 32 - sigma
+    bits = np.pad(fl, ((0, 0), (0, 0), (0, pad))).reshape(p, omega, nwords, 32)
+    weights = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint64)
+    words = (bits.astype(np.uint64) * weights).sum(axis=3).astype(np.uint32)
+    bit_flag = words.transpose(0, 2, 1)  # (p, nwords, omega)
+
+    lane_cnt = fl.sum(axis=2)  # (p, omega)
+    y_offset = np.zeros_like(lane_cnt)
+    np.cumsum(lane_cnt[:, :-1], axis=1, out=y_offset[:, 1:])
+
+    # seg_offset: distance-1 to the next lane (to the right) holding any
+    # flag; omega-l-1 if none (scansum semantics, format_cuda.h:200-240)
+    has = lane_cnt > 0  # (p, omega)
+    nxt = np.full((p, omega + 1), omega, dtype=np.int64)
+    for l in range(omega - 1, -1, -1):  # noqa: E741
+        nxt[:, l] = np.where(has[:, l], l, nxt[:, l + 1])
+    next_flagged = np.minimum(np.roll(nxt[:, :-1], -1, axis=1), omega)
+    next_flagged[:, omega - 1] = omega
+    seg_offset = np.clip(next_flagged - np.arange(omega)[None, :] - 1, 0, omega)
+    nseg = lane_cnt.sum(axis=1)  # (p,)
+    return bit_flag, y_offset.astype(np.int32), seg_offset.astype(np.int32), nseg
+
+
+def _empty_offsets(
+    row_ptr: np.ndarray,
+    heads: np.ndarray,
+    dirty: np.ndarray,
+    tile_ptr: np.ndarray,
+    nseg: np.ndarray,
+    p: int,
+    tile_nnz: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Ragged ordinal->row-offset table for dirty tiles.
+
+    Parity with generate_partition_descriptor_offset_kernel
+    (format_cuda.h:362-523): for the k-th segment head of a dirty tile, the
+    actual row offset from tile_ptr[t], found by binary search.
+    """
+    counts = np.where(dirty, nseg, 0).astype(np.int64)
+    eo_ptr = np.zeros(p + 1, dtype=np.int64)
+    np.cumsum(counts, out=eo_ptr[1:])
+    total = int(eo_ptr[-1])
+    if total == 0:
+        return eo_ptr.astype(np.int32), np.zeros(0, np.int32)
+    # global element index of every head, in element order, per tile
+    head_pos = np.nonzero(heads)[0]  # sorted; element order == flat order?
+    # heads is in (t, l, s) flat layout = element order within tile: flat
+    # index t*T + l*sigma + s == global element order index. Yes.
+    head_tile = head_pos // tile_nnz
+    keep = dirty[head_tile]
+    hp = head_pos[keep]
+    rows = np.searchsorted(row_ptr, hp, side="right") - 1
+    offs = rows - tile_ptr[head_tile[keep]]
+    return eo_ptr.astype(np.int32), offs.astype(np.int32)
+
+
+def build_csr5(
+    csr: CSRMatrix,
+    config: Optional[CSR5Config] = None,
+    sigma: int = AUTO_TUNED_SIGMA,
+) -> CSR5Matrix:
+    """CSR -> CSR5: the asCSR5() analogue (anonymouslib_cuda.h:106-220)."""
+    m, n = csr.shape
+    nnz = csr.nnz
+    if config is None:
+        config = CSR5Config(sigma=compute_sigma(m, nnz, sigma))
+    elif sigma != AUTO_TUNED_SIGMA and sigma != config.sigma:
+        config = CSR5Config(
+            omega=config.omega, sigma=sigma, tiles_per_block=config.tiles_per_block
+        )
+    omega, sig = config.omega, config.sigma
+    T = config.tile_nnz
+
+    row_ptr = np.asarray(csr.row_ptr, dtype=np.int64)
+    col_idx = np.asarray(csr.col_idx, dtype=np.int64)
+    values = np.asarray(csr.values)
+
+    p = max(1, -(-nnz // T))  # every tile padded; tail is the last tile
+    # pad tile count to a multiple of tiles_per_block for the kernel grid
+    B = config.tiles_per_block
+    p_pad = -(-p // B) * B
+    nnz_pad = p_pad * T
+
+    col_flat = np.zeros(nnz_pad, dtype=np.int64)
+    val_flat = np.zeros(nnz_pad, dtype=values.dtype)
+    col_flat[:nnz] = col_idx
+    val_flat[:nnz] = values
+
+    # --- partition pointer + dirty bits (format_cuda.h:21-95) ----------
+    bounds = np.arange(p_pad + 1, dtype=np.int64) * T
+    tile_ptr = np.clip(np.searchsorted(row_ptr, bounds, side="right") - 1, 0, m)
+    empty = (np.diff(row_ptr) == 0).astype(np.int64)
+    e_prefix = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(empty, out=e_prefix[1:])
+    start, stop = tile_ptr[:-1], np.minimum(tile_ptr[1:], m - 1)
+    dirty = (e_prefix[stop + 1] - e_prefix[np.minimum(start + 1, m)]) > 0
+    tail_row_start = int(tile_ptr[p - 1])
+
+    # --- bit flags (format_cuda.h:129-159) ------------------------------
+    heads = np.zeros(nnz_pad, dtype=bool)
+    nonempty = np.diff(row_ptr) > 0
+    heads[row_ptr[:-1][nonempty]] = True
+    # forced tile-leading bit (format_cuda.h:171-175)
+    heads_forced = heads.copy()
+    heads_forced[np.arange(p_pad) * T] = True
+
+    # element order within a tile is lane-major: flat index t*T + l*sig + s
+    bit_flag, y_offset, seg_offset, nseg = _descriptor(heads_forced, p_pad, sig, omega)
+
+    # --- empty-row indirection (format_cuda.h:269-523) ------------------
+    eo_ptr, eo = _empty_offsets(row_ptr, heads_forced, dirty, tile_ptr[:-1], nseg, p_pad, T)
+
+    # --- AoS->SoA tile transpose (format_cuda.h:525-744) ----------------
+    col_tiles = col_flat.reshape(p_pad, omega, sig).swapaxes(1, 2)  # (p,sig,om)
+    val_tiles = val_flat.reshape(p_pad, omega, sig).swapaxes(1, 2)
+
+    # --- TPU execution plan (NOTES.md) ----------------------------------
+    pages_per_elem = (col_flat >> 10).reshape(p_pad, T)
+    pages_list = []
+    page_cnt = np.zeros(p_pad, dtype=np.int32)
+    for t in range(p_pad):
+        u = np.unique(pages_per_elem[t])
+        pages_list.append(u)
+        page_cnt[t] = len(u)
+    pmax = _pow2_at_least(int(page_cnt.max()), 8)
+    pages = np.zeros((p_pad, pmax), dtype=np.int32)
+    for t, u in enumerate(pages_list):
+        pages[t, : len(u)] = u
+        pages[t, len(u):] = u[-1] if len(u) else 0
+
+    # monotone row-end window maps (NOTES.md): window slot d of tile t maps
+    # to row base[t]+d where base = row_start rounded down to 128 (so the
+    # kernel's y adds are 128-row aligned). win_end[t,d] = in-tile position
+    # of the last element of that row: clip(row_ptr[min(base+d+1, m)]-1 -
+    # t*T, 0, T-1). Monotone with repeats => empty rows and beyond-span
+    # slots auto-produce zero diffs. Slots d < row_start-base (rows ending
+    # before the tile) are masked in-kernel from row_start % 128.
+    span = tile_ptr[1:] - tile_ptr[:-1]  # rows spanned (excl. carry row)
+    capw = _pow2_at_least(int(span.max()) + 1 + 128, 128)
+    rs = tile_ptr[:-1][:, None]  # (p,1)
+    base = (rs // 128) * 128
+    d = np.arange(capw)[None, :]
+    ridx = np.minimum(base + d + 1, m)
+    win_end = np.clip(row_ptr[ridx] - 1 - (np.arange(p_pad) * T)[:, None], 0, T - 1)
+    win_sub = (win_end % sig).astype(np.int32)
+    win_lane = (win_end // sig).astype(np.int32)
+
+    jdt = jnp.int32
+    return CSR5Matrix(
+        shape=(m, n),
+        config=config,
+        num_tiles=p_pad,
+        nnz_stored=nnz,
+        row_ptr=jnp.asarray(row_ptr, jdt),
+        tile_ptr=jnp.asarray(tile_ptr, jdt),
+        tile_dirty=jnp.asarray(dirty),
+        y_offset=jnp.asarray(y_offset, jdt),
+        seg_offset=jnp.asarray(seg_offset, jdt),
+        bit_flag=jnp.asarray(bit_flag),
+        empty_offset_ptr=jnp.asarray(eo_ptr, jdt),
+        empty_offset=jnp.asarray(eo, jdt),
+        col_idx_tiles=jnp.asarray(col_tiles, jdt),
+        val_tiles=jnp.asarray(val_tiles),
+        pages=jnp.asarray(pages, jdt),
+        page_cnt=jnp.asarray(page_cnt, jdt),
+        win_sub=jnp.asarray(win_sub, jdt),
+        win_lane=jnp.asarray(win_lane, jdt),
+        tail_row_start=tail_row_start,
+        capw=capw,
+        pmax=pmax,
+        m_pad=_pow2_at_least(m + capw, 1024),
+        n_pad=-(-max(n, 1) // PAGE_COLS) * PAGE_COLS,
+    )
+
+
+def csr5_to_csr(a5: CSR5Matrix) -> CSRMatrix:
+    """CSR5 -> CSR: the asCSR() analogue (anonymouslib_cuda.h:79-103).
+
+    Inverts the AoS->SoA transpose and drops padding; exact round-trip.
+    """
+    p, sig, omega = a5.num_tiles, a5.sigma, a5.omega
+    col_flat = jnp.swapaxes(a5.col_idx_tiles, 1, 2).reshape(p * sig * omega)
+    val_flat = jnp.swapaxes(a5.val_tiles, 1, 2).reshape(p * sig * omega)
+    return CSRMatrix(
+        row_ptr=a5.row_ptr,
+        col_idx=col_flat[: a5.nnz_stored],
+        values=val_flat[: a5.nnz_stored],
+        shape=a5.shape,
+    )
+
+
+def convert_timings(csr: CSRMatrix, config: Optional[CSR5Config] = None) -> dict:
+    """Phase-timed conversion, mirroring the reference's breakdown print
+    (malloc / tile_ptr / tile_desc / transpose, anonymouslib_cuda.h:211-214).
+    """
+    t0 = time.perf_counter()
+    a5 = build_csr5(csr, config)
+    jax.block_until_ready(a5.val_tiles)
+    total = (time.perf_counter() - t0) * 1e3
+    return {"total_ms": total, "csr5": a5}

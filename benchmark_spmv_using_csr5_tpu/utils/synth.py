@@ -1,0 +1,102 @@
+"""Synthetic sparse-matrix generators for tests and benchmarks.
+
+The reference ships no matrices (README usage is ``./spmv example.mtx``);
+its correctness strategy uses small random integer values for stable fp
+comparison (``main.cu:314-326``). These generators reproduce that value
+distribution (integers in [0, 10)) and add shape families covering every
+CSR5 edge case: empty rows (dirty tiles), single dense rows (fast-track
+tiles), power-law rows (calibrator stress), and banded FEM-like structure
+(the SuiteSparse ``cant``/``consph`` class from BASELINE.json configs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def random_csr(
+    m: int,
+    n: int,
+    density: float = 0.01,
+    dtype=np.float64,
+    seed: int = 0,
+    integer_values: bool = True,
+) -> sp.csr_matrix:
+    """Uniform random sparsity; values are rand()%10-style small integers."""
+    rng = np.random.default_rng(seed)
+    a = sp.random(m, n, density=density, format="csr", dtype=np.float64, random_state=rng)
+    if integer_values:
+        a.data = rng.integers(1, 10, size=a.nnz).astype(np.float64)
+    return a.astype(dtype)
+
+
+def banded(m: int, bandwidth: int = 27, dtype=np.float64, seed: int = 0) -> sp.csr_matrix:
+    """FEM-like banded matrix (structured SuiteSparse class)."""
+    rng = np.random.default_rng(seed)
+    diags = []
+    offsets = []
+    for k in range(-bandwidth // 2, bandwidth // 2 + 1):
+        offsets.append(k)
+        diags.append(rng.integers(1, 10, size=m).astype(np.float64))
+    a = sp.diags(diags, offsets, shape=(m, m), format="csr")
+    return a.astype(dtype)
+
+
+def power_law(
+    m: int,
+    n: int,
+    mean_nnz_per_row: float = 8.0,
+    alpha: float = 1.8,
+    dtype=np.float64,
+    seed: int = 0,
+) -> sp.csr_matrix:
+    """Power-law row lengths (webbase/circuit class): a few huge rows, many
+    tiny or empty rows. Exercises fast-track, dirty tiles and the
+    calibrator."""
+    rng = np.random.default_rng(seed)
+    raw = rng.pareto(alpha, size=m) + 0.1
+    lengths = np.minimum((raw / raw.mean() * mean_nnz_per_row).astype(np.int64), n)
+    # force some empty rows
+    lengths[rng.random(m) < 0.1] = 0
+    row_ptr = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(lengths, out=row_ptr[1:])
+    nnz = int(row_ptr[-1])
+    col_idx = rng.integers(0, n, size=nnz).astype(np.int32)
+    values = rng.integers(1, 10, size=nnz).astype(np.float64)
+    a = sp.csr_matrix((values, col_idx, row_ptr), shape=(m, n))
+    return a.astype(dtype)
+
+
+def single_dense_row(m: int, n: int, row: int = 0, row_nnz: int = 4096, dtype=np.float64, seed: int = 0) -> sp.csr_matrix:
+    """One long row among near-empty rows: many consecutive fast-track tiles
+    sharing a single output row (calibrator chain stress,
+    csr5_spmv_cuda.h:335-353)."""
+    rng = np.random.default_rng(seed)
+    cols = rng.choice(n, size=min(row_nnz, n), replace=False).astype(np.int32)
+    rows = np.full(cols.shape, row, dtype=np.int32)
+    # sprinkle a diagonal so other rows are non-empty
+    diag_rows = np.arange(0, m, 3, dtype=np.int32)
+    rows = np.concatenate([rows, diag_rows])
+    cols = np.concatenate([cols, diag_rows % n])
+    vals = rng.integers(1, 10, size=rows.size).astype(np.float64)
+    a = sp.csr_matrix((vals, (rows, cols)), shape=(m, n))
+    a.sum_duplicates()
+    return a.astype(dtype)
+
+
+def dense_x(n: int, dtype=np.float64, seed: int = 1) -> np.ndarray:
+    """x vector with rand()%10 values (main.cu:323-326 parity)."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, 10, size=n).astype(dtype)
+
+
+EDGE_CASE_MATRICES = {
+    "tiny": lambda dtype=np.float64: random_csr(40, 40, 0.15, dtype=dtype),
+    "empty_rows": lambda dtype=np.float64: power_law(300, 300, 4.0, dtype=dtype),
+    "banded": lambda dtype=np.float64: banded(500, 9, dtype=dtype),
+    "fast_track": lambda dtype=np.float64: single_dense_row(64, 8192, dtype=dtype),
+    "power_law": lambda dtype=np.float64: power_law(2000, 2000, 16.0, dtype=dtype),
+    "wide": lambda dtype=np.float64: random_csr(64, 5000, 0.02, dtype=dtype),
+    "tall": lambda dtype=np.float64: random_csr(5000, 64, 0.02, dtype=dtype),
+}

