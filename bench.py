@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Round benchmark entry point (run by the driver on real TPU hardware).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: CSR5 SpMV percent of per-chip HBM speed-of-light (the
+reference bytes model, detail/utils.h:10-16) on the structured-matrix
+config (BASELINE.json configs[1] class). north_star = 80%% (BASELINE.md),
+so vs_baseline = value / 80.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    from benchmark_spmv_using_csr5_tpu.bench.harness import run_benchmark
+    from benchmark_spmv_using_csr5_tpu.utils import synth
+
+    suite = {
+        "banded500k": synth.banded(500_000, 27, dtype=np.float32),
+        "powerlaw200k": synth.power_law(200_000, 200_000, 8.0, dtype=np.float32),
+    }
+    results = {}
+    for name, a in suite.items():
+        res = run_benchmark(
+            name, a.indptr, a.indices, a.data, a.shape, num_run=50
+        )
+        results[name] = res
+        print(res.report(), file=sys.stderr)
+
+    primary = results["banded500k"]
+    out = {
+        "metric": "csr5_spmv_pct_hbm_roofline_banded500k_f32",
+        "value": round(primary.pct_of_roofline, 2),
+        "unit": "% of 819 GB/s roofline",
+        "vs_baseline": round(primary.pct_of_roofline / 80.0, 4),
+        "gflops": round(primary.gflops, 2),
+        "gnnz_per_s": round(primary.nnz_per_sec / 1e9, 3),
+        "check": all(r.check_ok for r in results.values()),
+        "extras": {
+            k: {
+                "gflops": round(r.gflops, 2),
+                "pct_roofline": round(r.pct_of_roofline, 2),
+                "spmv_ms": round(r.spmv_ms, 4),
+                "backend": r.backend,
+            }
+            for k, r in results.items()
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""CLI: ``python -m benchmark_spmv_using_csr5_tpu.bench.cli <matrix.mtx>``.
+
+Parity with the reference usage ``./spmv example.mtx`` (README.md:27,
+main.cu:146-155), extended with synthetic generators and TPU options:
+
+    cli.py matrix.mtx [--sigma N] [--dtype float32|float64]
+           [--num-run N] [--backend auto|pallas|xla] [--spmm K]
+    cli.py --synthetic banded:500000:27
+    cli.py --synthetic powerlaw:1000000:8
+    cli.py --synthetic random:100000:0.0001
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..config import AUTO_TUNED_SIGMA
+from ..utils import mmio, synth
+from .harness import run_benchmark
+
+
+def load_matrix(args):
+    dtype = np.dtype(args.dtype)
+    if args.synthetic:
+        kind, *params = args.synthetic.split(":")
+        if kind == "banded":
+            m, bw = int(params[0]), int(params[1])
+            a = synth.banded(m, bw, dtype=dtype)
+        elif kind == "powerlaw":
+            m, mean = int(params[0]), float(params[1])
+            a = synth.power_law(m, m, mean, dtype=dtype)
+        elif kind == "random":
+            m, dens = int(params[0]), float(params[1])
+            a = synth.random_csr(m, m, dens, dtype=dtype)
+        else:
+            raise SystemExit(f"unknown synthetic kind {kind!r}")
+        return a.indptr, a.indices, a.data.astype(dtype), a.shape, args.synthetic
+    if not args.matrix:
+        raise SystemExit("usage: cli.py <matrix.mtx> | --synthetic KIND:...")
+    rp, ci, v, shape = mmio.read_mtx_csr(args.matrix, dtype=dtype)
+    return rp, ci, v, shape, args.matrix
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU CSR5 SpMV benchmark")
+    ap.add_argument("matrix", nargs="?", help=".mtx file (Matrix Market)")
+    ap.add_argument("--synthetic", help="banded:M:BW | powerlaw:M:MEAN | random:M:DENSITY")
+    ap.add_argument("--sigma", type=int, default=AUTO_TUNED_SIGMA)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    ap.add_argument("--num-run", type=int, default=50)
+    ap.add_argument("--backend", default="auto", choices=["auto", "pallas", "xla"])
+    args = ap.parse_args(argv)
+
+    rp, ci, v, shape, name = load_matrix(args)
+    res = run_benchmark(
+        name,
+        rp,
+        ci,
+        v,
+        shape,
+        sigma=args.sigma,
+        num_run=args.num_run,
+        backend=args.backend,
+    )
+    print(res.report())
+    return 0 if res.check_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

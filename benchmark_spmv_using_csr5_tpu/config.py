@@ -88,7 +88,7 @@ class CSR5Config:
     sigma: int = 16
     #: Tiles processed per Pallas grid step (the analogue of
     #: THREAD_GROUP / THREAD_BUNCH block shaping, common_cuda.h:14-15).
-    tiles_per_block: int = 8
+    tiles_per_block: int = 32
     #: Index dtype name (TPU-native int32; the reference templates iT/uiT).
     index_dtype: str = "int32"
 

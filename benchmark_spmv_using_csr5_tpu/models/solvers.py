@@ -1,0 +1,106 @@
+"""Iterative solvers built on CSR5 SpMV -- the library's "model families".
+
+The reference is a kernel benchmark with no end-user algorithms; these
+solvers are the standard consumers of SpMV and demonstrate the framework
+end-to-end (single-chip and distributed). All are jittable with static
+iteration counts via ``lax.fori_loop``/``lax.while_loop``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+SpMV = Callable[[jax.Array], jax.Array]
+
+
+@partial(jax.jit, static_argnames=("spmv", "iters"))
+def conjugate_gradient(
+    spmv: SpMV, b: jax.Array, iters: int = 50, tol: float = 1e-8
+) -> Tuple[jax.Array, jax.Array]:
+    """CG for SPD A. Returns (x, final residual norm)."""
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    p0 = r0
+    rs0 = jnp.vdot(r0, r0)
+
+    def body(_, state):
+        x, r, p, rs = state
+        ap = spmv(p)
+        denom = jnp.vdot(p, ap)
+        alpha = jnp.where(denom != 0, rs / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.vdot(r, r)
+        beta = jnp.where(rs != 0, rs_new / rs, 0.0)
+        p = r + beta * p
+        return x, r, p, rs_new
+
+    x, r, _, rs = jax.lax.fori_loop(0, iters, body, (x0, r0, p0, rs0))
+    return x, jnp.sqrt(rs)
+
+
+@partial(jax.jit, static_argnames=("spmv", "iters"))
+def bicgstab(spmv: SpMV, b: jax.Array, iters: int = 50) -> Tuple[jax.Array, jax.Array]:
+    """BiCGSTAB for general square A."""
+    x = jnp.zeros_like(b)
+    r = b
+    rhat = r
+    rho = alpha = omega = jnp.asarray(1.0, b.dtype)
+    v = p = jnp.zeros_like(b)
+
+    def body(_, state):
+        x, r, rho, alpha, omega, v, p = state
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
+            alpha / jnp.where(omega == 0, 1.0, omega)
+        )
+        p = r + beta * (p - omega * v)
+        v = spmv(p)
+        denom = jnp.vdot(rhat, v)
+        alpha = rho_new / jnp.where(denom == 0, 1.0, denom)
+        s = r - alpha * v
+        t = spmv(s)
+        tt = jnp.vdot(t, t)
+        omega = jnp.where(tt != 0, jnp.vdot(t, s) / tt, 0.0)
+        x = x + alpha * p + omega * s
+        r = s - omega * t
+        return x, r, rho_new, alpha, omega, v, p
+
+    x, r, *_ = jax.lax.fori_loop(0, iters, body, (x, r, rho, alpha, omega, v, p))
+    return x, jnp.linalg.norm(r)
+
+
+@partial(jax.jit, static_argnames=("spmv", "iters"))
+def power_iteration(
+    spmv: SpMV, n: int, iters: int = 100, seed: int = 0, dtype=jnp.float32
+) -> Tuple[jax.Array, jax.Array]:
+    """Dominant eigenpair of A by power iteration."""
+    v0 = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def body(_, v):
+        w = spmv(v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, body, v0)
+    lam = jnp.vdot(v, spmv(v))
+    return lam, v
+
+
+@partial(jax.jit, static_argnames=("spmv_T", "iters"))
+def pagerank(
+    spmv_T: SpMV, n: int, damping: float = 0.85, iters: int = 50, dtype=jnp.float32
+) -> jax.Array:
+    """PageRank via repeated A^T @ r (spmv_T must apply the column-
+    stochastic transition matrix)."""
+    r = jnp.full((n,), 1.0 / n, dtype)
+
+    def body(_, r):
+        r = damping * spmv_T(r) + (1.0 - damping) / n
+        return r / jnp.maximum(jnp.sum(r), 1e-30)
+
+    return jax.lax.fori_loop(0, iters, body, r)

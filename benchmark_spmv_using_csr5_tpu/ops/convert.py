@@ -50,8 +50,8 @@ import numpy as np
 from ..config import AUTO_TUNED_SIGMA, CSR5Config, compute_sigma
 from ..models.formats import CSR5Matrix, CSRMatrix
 
-#: columns per x-page = one (8, 128) f32 VMEM slice (NOTES.md gather design)
-PAGE_COLS = 1024
+#: columns per x-page = one (1, 128) f32 VMEM row (NOTES.md gather design)
+PAGE_COLS = 128
 
 
 # ---------------------------------------------------------------------------
@@ -227,18 +227,17 @@ def build_csr5(
     val_tiles = val_flat.reshape(p_pad, omega, sig).swapaxes(1, 2)
 
     # --- TPU execution plan (NOTES.md) ----------------------------------
-    pages_per_elem = (col_flat >> 10).reshape(p_pad, T)
-    pages_list = []
-    page_cnt = np.zeros(p_pad, dtype=np.int32)
-    for t in range(p_pad):
-        u = np.unique(pages_per_elem[t])
-        pages_list.append(u)
-        page_cnt[t] = len(u)
+    # per-tile distinct x-page lists, vectorised: sort pages within each
+    # tile, mark firsts, compact by prefix position
+    pages_sorted = np.sort((col_flat >> 7).reshape(p_pad, T), axis=1)
+    first = np.ones((p_pad, T), dtype=bool)
+    first[:, 1:] = pages_sorted[:, 1:] != pages_sorted[:, :-1]
+    page_cnt = first.sum(axis=1).astype(np.int32)
     pmax = _pow2_at_least(int(page_cnt.max()), 8)
     pages = np.zeros((p_pad, pmax), dtype=np.int32)
-    for t, u in enumerate(pages_list):
-        pages[t, : len(u)] = u
-        pages[t, len(u):] = u[-1] if len(u) else 0
+    pos = np.cumsum(first, axis=1) - 1
+    tsel, esel = np.nonzero(first)
+    pages[tsel, pos[tsel, esel]] = pages_sorted[tsel, esel]
 
     # monotone row-end window maps (NOTES.md): window slot d of tile t maps
     # to row base[t]+d where base = row_start rounded down to 128 (so the

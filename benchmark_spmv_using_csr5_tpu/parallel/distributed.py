@@ -1,0 +1,208 @@
+"""Distributed (multi-chip / multi-host) CSR5 SpMV.
+
+The reference is single-device (SURVEY.md section 2.2); this layer is the
+new capability mandated by BASELINE.json: row-block partitioning of the
+matrix across a ``jax.sharding.Mesh``, with the x vector exchanged over
+ICI via an in-``shard_map`` all-gather, and y produced row-sharded.
+
+Design (scaling-book style): 1-D mesh axis ``"rows"``; A's rows are split
+into contiguous blocks (one per device); each device holds the CSR5 tiles
+of its block (padded to a common static tile count so the stacked plan is
+one array with a leading device axis). x is row-sharded; inside the
+shard_map each device all-gathers x (ICI all-gather), runs the single-chip
+CSR5 executor on its local tiles, and emits its y block. Collectives ride
+the mesh axis; XLA overlaps the gather with the leading tiles' compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import AUTO_TUNED_SIGMA, CSR5Config, compute_sigma
+from ..models.formats import CSR5Matrix, CSRMatrix, csr_from_numpy
+from ..ops.convert import build_csr5
+from ..ops.csr5_spmv import csr5_spmv_xla
+
+
+@struct.dataclass
+class DistributedCSR5:
+    """Row-block-partitioned CSR5: every plan array gains a leading device
+    axis; statics are uniform across shards (padded to the max)."""
+
+    shape: Tuple[int, int] = struct.field(pytree_node=False)
+    config: CSR5Config = struct.field(pytree_node=False)
+    num_devices: int = struct.field(pytree_node=False)
+    rows_per_shard: int = struct.field(pytree_node=False)
+    local: CSR5Matrix = None  # all leaves stacked: (D, ...)
+
+    @property
+    def m(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.shape[1]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def _pad_shard_statics(shards: Sequence[CSR5Matrix]) -> Sequence[CSR5Matrix]:
+    """Re-pad every shard to common (p, capw, pmax) statics so they stack."""
+    import dataclasses as dc
+
+    p = max(s.num_tiles for s in shards)
+    capw = max(s.capw for s in shards)
+    pmax = max(s.pmax for s in shards)
+    m_pad = max(s.m_pad for s in shards)
+    n_pad = max(s.n_pad for s in shards)
+    out = []
+    for s in shards:
+        dp = p - s.num_tiles
+        sig, om = s.sigma, s.omega
+
+        def padp(a, fill=0):  # pad leading tile axis
+            w = [(0, dp)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, w, constant_values=fill)
+
+        wpad = capw - s.capw
+        # extend window maps monotonically (repeat last element => zero diff)
+        win_sub = jnp.pad(s.win_sub, ((0, dp), (0, wpad)), mode="edge")
+        win_lane = jnp.pad(s.win_lane, ((0, dp), (0, wpad)), mode="edge")
+        out.append(
+            s.replace(
+                num_tiles=p,
+                capw=capw,
+                pmax=pmax,
+                m_pad=m_pad,
+                n_pad=n_pad,
+                # per-shard data statics must be uniform to stack; the
+                # executors only use them for final slicing, which the
+                # distributed wrapper does itself
+                nnz_stored=p * sig * om,
+                tail_row_start=0,
+                tile_ptr=jnp.pad(s.tile_ptr, (0, dp), mode="edge"),
+                tile_dirty=padp(s.tile_dirty),
+                y_offset=padp(s.y_offset),
+                seg_offset=padp(s.seg_offset),
+                bit_flag=padp(s.bit_flag),
+                empty_offset_ptr=jnp.pad(s.empty_offset_ptr, (0, dp), mode="edge"),
+                col_idx_tiles=padp(s.col_idx_tiles),
+                val_tiles=padp(s.val_tiles),
+                pages=jnp.pad(s.pages, ((0, dp), (0, pmax - s.pmax))),
+                page_cnt=padp(s.page_cnt),
+                win_sub=win_sub,
+                win_lane=win_lane,
+            )
+        )
+    return out
+
+
+def _stack_shards(shards: Sequence[CSR5Matrix]) -> CSR5Matrix:
+    eo_max = max(s.empty_offset.shape[0] for s in shards) or 1
+    shards = [
+        s.replace(
+            empty_offset=jnp.pad(s.empty_offset, (0, eo_max - s.empty_offset.shape[0]))
+        )
+        for s in shards
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
+
+
+def distribute_csr(
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    values: np.ndarray,
+    shape: Tuple[int, int],
+    mesh: Mesh,
+    sigma: int = AUTO_TUNED_SIGMA,
+) -> DistributedCSR5:
+    """Partition A into contiguous row blocks (one per mesh device) and
+    convert each block to CSR5 with uniform static shapes."""
+    m, n = shape
+    D = mesh.devices.size
+    rows_per = -(-m // D)
+    sig = compute_sigma(m, len(values), sigma)
+    cfg = CSR5Config(sigma=sig)
+
+    shards = []
+    for d in range(D):
+        r0, r1 = d * rows_per, min((d + 1) * rows_per, m)
+        if r0 >= m:
+            # empty shard: one padded tile
+            local = csr_from_numpy(
+                np.zeros(rows_per + 1, np.int32),
+                np.zeros(0, np.int32),
+                np.zeros(0, values.dtype),
+                (rows_per, n),
+            )
+        else:
+            lo, hi = int(row_ptr[r0]), int(row_ptr[r1])
+            lrp = np.zeros(rows_per + 1, dtype=np.int64)
+            lrp[: r1 - r0 + 1] = np.asarray(row_ptr[r0 : r1 + 1]) - lo
+            lrp[r1 - r0 + 1 :] = lrp[r1 - r0]
+            local = csr_from_numpy(
+                lrp, col_idx[lo:hi], values[lo:hi], (rows_per, n)
+            )
+        shards.append(build_csr5(local, cfg))
+
+    stacked = _stack_shards(_pad_shard_statics(shards))
+    axis = mesh.axis_names[0]
+    sharding = NamedSharding(mesh, P(axis))
+    stacked = jax.tree.map(
+        lambda a: jax.device_put(a, sharding), stacked
+    )
+    return DistributedCSR5(
+        shape=shape,
+        config=cfg,
+        num_devices=D,
+        rows_per_shard=rows_per,
+        local=stacked,
+    )
+
+
+def distributed_spmv(
+    da: DistributedCSR5, x: jax.Array, mesh: Mesh, alpha=1.0, backend: str = "xla"
+) -> jax.Array:
+    """y = alpha * A @ x with A row-sharded and x gathered over ICI.
+
+    x arrives row-sharded over the mesh axis (length padded to D*ceil(n/D));
+    each shard all-gathers x (the ICI collective of BASELINE.json), applies
+    its local CSR5 tiles, and returns its y row block.
+    """
+    axis = mesh.axis_names[0]
+    D = da.num_devices
+    n_per = -(-da.n // D)
+    x_pad = jnp.zeros(n_per * D, x.dtype).at[: da.n].set(x)
+
+    def local_step(local_a5: CSR5Matrix, x_shard: jax.Array) -> jax.Array:
+        # squeeze the leading device axis shard_map leaves on each leaf
+        a5 = jax.tree.map(lambda a: a[0], local_a5)
+        x_full = jax.lax.all_gather(x_shard, axis, tiled=True)[: da.n]
+        if backend == "pallas":
+            from ..ops.csr5_kernel import csr5_spmv_pallas
+
+            y_loc = csr5_spmv_pallas(a5, x_full, alpha)
+        else:
+            y_loc = csr5_spmv_xla(a5, x_full, alpha)
+        return y_loc[None]
+
+    y = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )(da.local, x_pad)
+    return y.reshape(-1)[: da.m]

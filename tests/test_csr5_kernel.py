@@ -1,0 +1,84 @@
+"""Pallas CSR5 kernel tests (interpreter mode on CPU).
+
+Equivalence: the kernel must match the XLA executor (same decomposition)
+and scipy (independent oracle) on every edge case, all sigmas, and with
+alpha scaling -- the unit-level version of the reference's end-to-end 1%%
+check (CSR5_cuda/main.cu:361-384), at f32-exact tolerance.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from benchmark_spmv_using_csr5_tpu import CSR5Config, build_csr5, csr5_spmv_xla, csr_from_scipy
+from benchmark_spmv_using_csr5_tpu.ops.csr5_kernel import csr5_spmv_pallas, pallas_supported
+from benchmark_spmv_using_csr5_tpu.utils import synth
+
+
+def small_cfg(sigma=None, m=0, nnz=0):
+    """Small tiles_per_block keeps interpret-mode tests fast."""
+    from benchmark_spmv_using_csr5_tpu import compute_sigma
+
+    return CSR5Config(sigma=sigma or compute_sigma(m, nnz), tiles_per_block=8)
+
+
+def run_both(a_sp, config=None, alpha=1.0):
+    a_sp = a_sp.astype(np.float32)
+    x = synth.dense_x(a_sp.shape[1], dtype=np.float32)
+    if config is None:
+        config = small_cfg(m=a_sp.shape[0], nnz=a_sp.nnz)
+    a5 = build_csr5(csr_from_scipy(a_sp), config)
+    y_pl = np.asarray(csr5_spmv_pallas(a5, x, alpha=alpha, interpret=True))
+    y_xla = np.asarray(csr5_spmv_xla(a5, x, alpha=alpha))
+    y_ref = alpha * (a_sp @ x)
+    return y_pl, y_xla, y_ref
+
+
+def test_kernel_edge_cases(edge_matrix):
+    name, a_sp = edge_matrix
+    y_pl, y_xla, y_ref = run_both(a_sp)
+    scale = max(1.0, np.abs(y_ref).max())
+    np.testing.assert_allclose(y_pl, y_ref, atol=2e-5 * scale, err_msg=name)
+    np.testing.assert_allclose(y_pl, y_xla, atol=2e-5 * scale, err_msg=name)
+
+
+@pytest.mark.parametrize("sigma", [8, 16, 24, 32])
+def test_kernel_sigmas(sigma):
+    a_sp = synth.power_law(700, 600, 8.0, seed=11)
+    y_pl, _, y_ref = run_both(a_sp, small_cfg(sigma=sigma))
+    np.testing.assert_allclose(y_pl, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max()))
+
+
+def test_kernel_alpha():
+    a_sp = synth.banded(300, 9)
+    y_pl, _, y_ref = run_both(a_sp, alpha=-1.75)
+    np.testing.assert_allclose(y_pl, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max()))
+
+
+def test_kernel_row_spanning_many_tiles():
+    # one row of 20000 nnz spans ~20 tiles: stresses the carry chain that
+    # replaces the calibrator's block-edge atomics (csr5_spmv_cuda.h:335-381)
+    a_sp = synth.single_dense_row(32, 30000, row_nnz=20000)
+    y_pl, _, y_ref = run_both(a_sp)
+    np.testing.assert_allclose(
+        y_pl, y_ref, atol=1e-4 * max(1.0, np.abs(y_ref).max())
+    )
+
+
+def test_pallas_supported_gate():
+    a_sp = synth.random_csr(100, 100, 0.05, dtype=np.float32)
+    a5 = build_csr5(csr_from_scipy(a_sp))
+    assert pallas_supported(a5)
+    a5_f64 = build_csr5(csr_from_scipy(a_sp.astype(np.float64)))
+    assert not pallas_supported(a5_f64)
+
+
+def test_meta_plane_layout():
+    from benchmark_spmv_using_csr5_tpu.ops.csr5_kernel import META_HDR, build_meta_plane
+
+    a_sp = synth.power_law(500, 500, 6.0, seed=4).astype(np.float32)
+    a5 = build_csr5(csr_from_scipy(a_sp), small_cfg(m=500, nnz=a_sp.nnz))
+    meta = build_meta_plane(a5)
+    np.testing.assert_array_equal(meta[:, 0], np.asarray(a5.tile_ptr[:-1]))
+    np.testing.assert_array_equal(meta[:, 1], np.asarray(a5.page_cnt))
+    np.testing.assert_array_equal(meta[:, META_HDR:], np.asarray(a5.pages))
