@@ -81,4 +81,7 @@ def test_meta_plane_layout():
     meta = build_meta_plane(a5)
     np.testing.assert_array_equal(meta[:, 0], np.asarray(a5.tile_ptr[:-1]))
     np.testing.assert_array_equal(meta[:, 1], np.asarray(a5.page_cnt))
-    np.testing.assert_array_equal(meta[:, META_HDR:], np.asarray(a5.pages))
+    np.testing.assert_array_equal(
+        meta[:, META_HDR : META_HDR + a5.pmax], np.asarray(a5.pages)
+    )
+    assert meta.shape[1] % 128 == 0  # DMA planes need lane-aligned minor dim
