@@ -129,7 +129,11 @@ def run_benchmark(
     y_ref = a_sp @ x
 
     t0 = time.perf_counter()
-    a5 = build_csr5(csr, CSR5Config(sigma=compute_sigma(m, csr.nnz, sigma)))
+    # pass host arrays directly: device readback over the tunnel is ~6 MB/s
+    a5 = build_csr5(
+        (row_ptr, col_idx, values, shape),
+        CSR5Config(sigma=compute_sigma(m, csr.nnz, sigma)),
+    )
     convert_ms = (time.perf_counter() - t0) * 1e3
 
     if backend == "auto":

@@ -119,8 +119,8 @@ class CSR5Matrix:
     - The tail partition is stored as one final zero-padded tile instead of
       raw CSR (the reference computes it with a separate CSR-vector kernel,
       csr5_spmv_cuda.h:384-419; here one uniform kernel handles all tiles).
-    - The *execution plan* fields (``pages``/``page_cnt``,
-      ``win_sub``/``win_lane``) are conversion-time derivations of the
+    - The *execution plan* fields (``pages``/``page_cnt``, ``win_map``)
+      are conversion-time derivations of the
       descriptor, routed for TPU VREG shuffles: per-tile distinct
       1024-column x-page lists for the in-kernel gather, and monotone
       row-end maps for the segmented-sum window extraction.
@@ -154,10 +154,16 @@ class CSR5Matrix:
     val_tiles: jax.Array  # (p, sigma, omega) float
 
     # --- TPU execution plan ---------------------------------------------
-    pages: jax.Array  # (p, pmax) int32: distinct col>>10 pages per tile
+    #: (p, pmax) int32: distinct col>>7 x-pages per tile; slots past
+    #: page_cnt hold the sentinel n_pad//128 (a guaranteed-zero x row that
+    #: never matches any real col>>7), so the kernel's static masked page
+    #: unroll needs no per-slot count check.
+    pages: jax.Array
     page_cnt: jax.Array  # (p,) int32
-    win_sub: jax.Array  # (p, capw) int32: sublane of row-end element
-    win_lane: jax.Array  # (p, capw) int32: lane of row-end element
+    #: (p, capw) int32 packed row-end map: sublane | (lane << 16). The
+    #: in-tile position of the last element of row base+d is
+    #: lane*sigma + sublane (monotone; repeats encode empty rows).
+    win_map: jax.Array
 
     # --- static plan parameters -----------------------------------------
     tail_row_start: int = struct.field(pytree_node=False, default=0)

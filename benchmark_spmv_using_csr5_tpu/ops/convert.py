@@ -111,25 +111,27 @@ def _descriptor(
     # pack along sigma into ceil(sigma/32) uint32 words per lane
     nwords = (sigma + 31) // 32
     pad = nwords * 32 - sigma
-    bits = np.pad(fl, ((0, 0), (0, 0), (0, pad))).reshape(p, omega, nwords, 32)
-    weights = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint64)
-    words = (bits.astype(np.uint64) * weights).sum(axis=3).astype(np.uint32)
+    bits = np.ascontiguousarray(np.pad(fl, ((0, 0), (0, 0), (0, pad))))
+    words = np.packbits(bits, axis=-1, bitorder="little")  # (p,om,nwords*4) u8
+    words = words.view(np.uint32)  # (p, omega, nwords), little-endian host
     bit_flag = words.transpose(0, 2, 1)  # (p, nwords, omega)
 
-    lane_cnt = fl.sum(axis=2)  # (p, omega)
+    lane_cnt = fl.sum(axis=2, dtype=np.int32)  # (p, omega)
     y_offset = np.zeros_like(lane_cnt)
     np.cumsum(lane_cnt[:, :-1], axis=1, out=y_offset[:, 1:])
 
     # seg_offset: distance-1 to the next lane (to the right) holding any
     # flag; omega-l-1 if none (scansum semantics, format_cuda.h:200-240)
     has = lane_cnt > 0  # (p, omega)
-    nxt = np.full((p, omega + 1), omega, dtype=np.int64)
+    nxt = np.full((p, omega + 1), omega, dtype=np.int32)
     for l in range(omega - 1, -1, -1):  # noqa: E741
         nxt[:, l] = np.where(has[:, l], l, nxt[:, l + 1])
     next_flagged = np.minimum(np.roll(nxt[:, :-1], -1, axis=1), omega)
     next_flagged[:, omega - 1] = omega
-    seg_offset = np.clip(next_flagged - np.arange(omega)[None, :] - 1, 0, omega)
-    nseg = lane_cnt.sum(axis=1)  # (p,)
+    seg_offset = np.clip(
+        next_flagged - np.arange(omega, dtype=np.int32)[None, :] - 1, 0, omega
+    )
+    nseg = lane_cnt.sum(axis=1, dtype=np.int64)  # (p,)
     return bit_flag, y_offset.astype(np.int32), seg_offset.astype(np.int32), nseg
 
 
@@ -166,14 +168,43 @@ def _empty_offsets(
     return eo_ptr.astype(np.int32), offs.astype(np.int32)
 
 
+def _as_host_csr(csr) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
+    """Extract host (row_ptr, col_idx, values, shape) from a CSRMatrix,
+    scipy.sparse matrix, or (row_ptr, col_idx, values, shape) tuple.
+
+    Device->host readback over this platform's tunnel runs at ~6 MB/s
+    (NOTES.md), so callers holding host arrays should pass them directly
+    instead of a device CSRMatrix.
+    """
+    if isinstance(csr, tuple):
+        row_ptr, col_idx, values, shape = csr
+    elif hasattr(csr, "indptr"):  # scipy.sparse csr_matrix / csr_array
+        row_ptr, col_idx, values, shape = csr.indptr, csr.indices, csr.data, csr.shape
+    else:
+        row_ptr, col_idx, values, shape = csr.row_ptr, csr.col_idx, csr.values, csr.shape
+    return (
+        np.asarray(row_ptr, dtype=np.int64),
+        np.ascontiguousarray(col_idx, dtype=np.int32)
+        if isinstance(col_idx, np.ndarray)
+        else np.asarray(col_idx, dtype=np.int32),
+        np.asarray(values),
+        tuple(shape),
+    )
+
+
 def build_csr5(
-    csr: CSRMatrix,
+    csr,
     config: Optional[CSR5Config] = None,
     sigma: int = AUTO_TUNED_SIGMA,
 ) -> CSR5Matrix:
-    """CSR -> CSR5: the asCSR5() analogue (anonymouslib_cuda.h:106-220)."""
-    m, n = csr.shape
-    nnz = csr.nnz
+    """CSR -> CSR5: the asCSR5() analogue (anonymouslib_cuda.h:106-220).
+
+    ``csr`` may be a CSRMatrix, a scipy.sparse CSR matrix, or a host tuple
+    ``(row_ptr, col_idx, values, shape)``; host inputs skip the slow
+    device readback.
+    """
+    row_ptr, col_idx, values, (m, n) = _as_host_csr(csr)
+    nnz = int(values.shape[0])
     if config is None:
         config = CSR5Config(sigma=compute_sigma(m, nnz, sigma))
     elif sigma != AUTO_TUNED_SIGMA and sigma != config.sigma:
@@ -183,17 +214,13 @@ def build_csr5(
     omega, sig = config.omega, config.sigma
     T = config.tile_nnz
 
-    row_ptr = np.asarray(csr.row_ptr, dtype=np.int64)
-    col_idx = np.asarray(csr.col_idx, dtype=np.int64)
-    values = np.asarray(csr.values)
-
     p = max(1, -(-nnz // T))  # every tile padded; tail is the last tile
     # pad tile count to a multiple of tiles_per_block for the kernel grid
     B = config.tiles_per_block
     p_pad = -(-p // B) * B
     nnz_pad = p_pad * T
 
-    col_flat = np.zeros(nnz_pad, dtype=np.int64)
+    col_flat = np.zeros(nnz_pad, dtype=np.int32)
     val_flat = np.zeros(nnz_pad, dtype=values.dtype)
     col_flat[:nnz] = col_idx
     val_flat[:nnz] = values
@@ -228,14 +255,20 @@ def build_csr5(
 
     # --- TPU execution plan (NOTES.md) ----------------------------------
     # per-tile distinct x-page lists, vectorised: sort pages within each
-    # tile, mark firsts, compact by prefix position
+    # tile, mark firsts, compact by prefix position. Dead slots hold the
+    # sentinel page n_pad//128 (a zero x row appended by the kernel
+    # wrapper) so the kernel's static masked unroll is count-free.
+    n_pad = -(-max(n, 1) // PAGE_COLS) * PAGE_COLS
+    page_sentinel = n_pad // PAGE_COLS
     pages_sorted = np.sort((col_flat >> 7).reshape(p_pad, T), axis=1)
     first = np.ones((p_pad, T), dtype=bool)
     first[:, 1:] = pages_sorted[:, 1:] != pages_sorted[:, :-1]
-    page_cnt = first.sum(axis=1).astype(np.int32)
-    pmax = _pow2_at_least(int(page_cnt.max()), 8)
-    pages = np.zeros((p_pad, pmax), dtype=np.int32)
-    pos = np.cumsum(first, axis=1) - 1
+    page_cnt = first.sum(axis=1, dtype=np.int32)
+    pmax = _pow2_at_least(int(page_cnt.max()), 2)
+    pages = np.full((p_pad, pmax), page_sentinel, dtype=np.int32)
+    # NB: cumsum on a bool array takes numpy's pathologically slow
+    # bool->int64 path (~190x slower than int32); cast first
+    pos = np.cumsum(first.astype(np.int32), axis=1, dtype=np.int32) - 1
     tsel, esel = np.nonzero(first)
     pages[tsel, pos[tsel, esel]] = pages_sorted[tsel, esel]
 
@@ -253,8 +286,9 @@ def build_csr5(
     d = np.arange(capw)[None, :]
     ridx = np.minimum(base + d + 1, m)
     win_end = np.clip(row_ptr[ridx] - 1 - (np.arange(p_pad) * T)[:, None], 0, T - 1)
-    win_sub = (win_end % sig).astype(np.int32)
-    win_lane = (win_end // sig).astype(np.int32)
+    win_map = (win_end % sig).astype(np.int32) | (
+        (win_end // sig).astype(np.int32) << 16
+    )
 
     jdt = jnp.int32
     return CSR5Matrix(
@@ -274,13 +308,12 @@ def build_csr5(
         val_tiles=jnp.asarray(val_tiles),
         pages=jnp.asarray(pages, jdt),
         page_cnt=jnp.asarray(page_cnt, jdt),
-        win_sub=jnp.asarray(win_sub, jdt),
-        win_lane=jnp.asarray(win_lane, jdt),
+        win_map=jnp.asarray(win_map, jdt),
         tail_row_start=tail_row_start,
         capw=capw,
         pmax=pmax,
         m_pad=_pow2_at_least(m + capw, 1024),
-        n_pad=-(-max(n, 1) // PAGE_COLS) * PAGE_COLS,
+        n_pad=n_pad,
     )
 
 

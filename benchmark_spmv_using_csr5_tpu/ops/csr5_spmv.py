@@ -50,7 +50,7 @@ def csr5_spmv_xla(a5: CSR5Matrix, x: jax.Array, alpha=1.0) -> jax.Array:
     P = jnp.cumsum(elem, axis=1)
 
     # routed window extraction: W_end[t, d] = P[t, win_end[t, d]]
-    win_end = a5.win_lane * sig + a5.win_sub  # (p, capw)
+    win_end = (a5.win_map >> 16) * sig + (a5.win_map & 0xFFFF)  # (p, capw)
     W_end = jnp.take_along_axis(P, win_end, axis=1)
     W_prev = jnp.concatenate([jnp.zeros((p, 1), P.dtype), W_end[:, :-1]], axis=1)
 

@@ -78,8 +78,7 @@ def _pad_shard_statics(shards: Sequence[CSR5Matrix]) -> Sequence[CSR5Matrix]:
 
         wpad = capw - s.capw
         # extend window maps monotonically (repeat last element => zero diff)
-        win_sub = jnp.pad(s.win_sub, ((0, dp), (0, wpad)), mode="edge")
-        win_lane = jnp.pad(s.win_lane, ((0, dp), (0, wpad)), mode="edge")
+        win_map = jnp.pad(s.win_map, ((0, dp), (0, wpad)), mode="edge")
         out.append(
             s.replace(
                 num_tiles=p,
@@ -100,10 +99,15 @@ def _pad_shard_statics(shards: Sequence[CSR5Matrix]) -> Sequence[CSR5Matrix]:
                 empty_offset_ptr=jnp.pad(s.empty_offset_ptr, (0, dp), mode="edge"),
                 col_idx_tiles=padp(s.col_idx_tiles),
                 val_tiles=padp(s.val_tiles),
-                pages=jnp.pad(s.pages, ((0, dp), (0, pmax - s.pmax))),
+                # page pads must be the (unified) sentinel n_pad//128, not
+                # zero: page id 0 is a real page and would double-gather
+                pages=jnp.pad(
+                    s.pages,
+                    ((0, dp), (0, pmax - s.pmax)),
+                    constant_values=n_pad // 128,
+                ),
                 page_cnt=padp(s.page_cnt),
-                win_sub=win_sub,
-                win_lane=win_lane,
+                win_map=win_map,
             )
         )
     return out

@@ -136,7 +136,8 @@ def test_window_maps_monotone():
     for name, make in synth.EDGE_CASE_MATRICES.items():
         a_sp = make()
         a5 = build_csr5(csr_from_scipy(a_sp))
-        we = np.asarray(a5.win_lane) * a5.sigma + np.asarray(a5.win_sub)
+        wm = np.asarray(a5.win_map)
+        we = (wm >> 16) * a5.sigma + (wm & 0xFFFF)
         assert (np.diff(we, axis=1) >= 0).all(), name
         assert we.min() >= 0 and we.max() < a5.config.tile_nnz, name
 

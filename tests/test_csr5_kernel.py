@@ -78,7 +78,7 @@ def test_meta_plane_layout():
 
     a_sp = synth.power_law(500, 500, 6.0, seed=4).astype(np.float32)
     a5 = build_csr5(csr_from_scipy(a_sp), small_cfg(m=500, nnz=a_sp.nnz))
-    meta = build_meta_plane(a5)
+    meta = np.asarray(build_meta_plane(a5))
     np.testing.assert_array_equal(meta[:, 0], np.asarray(a5.tile_ptr[:-1]))
     np.testing.assert_array_equal(meta[:, 1], np.asarray(a5.page_cnt))
     np.testing.assert_array_equal(
