@@ -1,0 +1,199 @@
+"""ctypes bindings for the native runtime library (native/csr5_native.cpp).
+
+The reference keeps its host runtime native (NIST mmio.c, the COO->CSR
+build and the serial golden-model SpMV of the benchmark drivers,
+CSR5_cuda/main.cu:157-355); this module exposes the same capabilities
+from ``libcsr5native.so``:
+
+- :func:`load_matrix_market` -- fast .mtx -> CSR (int64 row_ptr, int32
+  col_idx, float64 values), behaviourally identical to
+  :mod:`benchmark_spmv_using_csr5_tpu.utils.mmio` (its oracle).
+- :func:`csr_spmv_serial` -- the serial golden model (main.cu:336-355).
+- :func:`tile_partition_pointer` -- native tile_ptr binary search
+  (format_cuda.h:21-42) for huge conversions.
+
+The library is built on demand with ``make -C native`` the first time it
+is needed; every entry point has a pure-Python fallback, so the package
+works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libcsr5native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _try_load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_LIB_PATH):
+            if not os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+                _build_failed = True
+                return None
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+
+        lib.mm_load.restype = ctypes.c_void_p
+        lib.mm_load.argtypes = [ctypes.c_char_p]
+        lib.mm_last_error.restype = ctypes.c_char_p
+        for fn in (lib.mm_rows, lib.mm_cols, lib.mm_nnz):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.mm_fill.restype = None
+        lib.mm_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.mm_free.restype = None
+        lib.mm_free.argtypes = [ctypes.c_void_p]
+        lib.csr_spmv_f64.restype = None
+        lib.csr_spmv_f32.restype = None
+        lib.csr5_tile_ptr.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    """True when the native library loads (building it if necessary)."""
+    return _try_load() is not None
+
+
+def load_matrix_market(
+    path: str,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
+    """.mtx -> (row_ptr int64, col_idx int32, values float64, (m, n)).
+
+    Native fast path; raises ValueError with the parser's message on bad
+    input. Callers wanting the pure-Python path use utils.mmio directly.
+    """
+    lib = _try_load()
+    if lib is None:
+        from . import mmio
+
+        rp, ci, v, shape = mmio.read_mtx_csr(path)
+        return (
+            np.asarray(rp, np.int64),
+            np.asarray(ci, np.int32),
+            np.asarray(v, np.float64),
+            shape,
+        )
+    h = lib.mm_load(os.fspath(path).encode())
+    if not h:
+        raise ValueError(
+            f"mm_load({path}): {lib.mm_last_error().decode(errors='replace')}"
+        )
+    try:
+        m, n, nnz = lib.mm_rows(h), lib.mm_cols(h), lib.mm_nnz(h)
+        row_ptr = np.empty(m + 1, np.int64)
+        col_idx = np.empty(nnz, np.int32)
+        values = np.empty(nnz, np.float64)
+        lib.mm_fill(
+            h,
+            row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            col_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+    finally:
+        lib.mm_free(h)
+    return row_ptr, col_idx, values, (int(m), int(n))
+
+
+def csr_spmv_serial(
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    values: np.ndarray,
+    x: np.ndarray,
+    alpha: float = 1.0,
+) -> np.ndarray:
+    """Serial CSR SpMV golden model (main.cu:336-355), native when possible."""
+    m = row_ptr.shape[0] - 1
+    lib = _try_load()
+    if lib is None:  # pure-python fallback oracle
+        y = np.zeros(m, values.dtype)
+        for r in range(m):
+            s, e = int(row_ptr[r]), int(row_ptr[r + 1])
+            y[r] = alpha * (values[s:e] * x[col_idx[s:e]]).sum()
+        return y
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    col_idx = np.ascontiguousarray(col_idx, np.int32)
+    if values.dtype == np.float32:
+        values = np.ascontiguousarray(values, np.float32)
+        x32 = np.ascontiguousarray(x, np.float32)
+        y = np.empty(m, np.float32)
+        lib.csr_spmv_f32(
+            ctypes.c_int64(m),
+            row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            col_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            x32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_float(alpha),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return y
+    values64 = np.ascontiguousarray(values, np.float64)
+    x64 = np.ascontiguousarray(x, np.float64)
+    y = np.empty(m, np.float64)
+    lib.csr_spmv_f64(
+        ctypes.c_int64(m),
+        row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        col_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        values64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        x64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(alpha),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return y.astype(values.dtype, copy=False)
+
+
+def tile_partition_pointer(
+    row_ptr: np.ndarray, num_tiles: int, tile_nnz: int
+) -> Optional[np.ndarray]:
+    """Native tile_ptr (format_cuda.h:21-42); None if the lib is missing."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    m = row_ptr.shape[0] - 1
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    out = np.empty(num_tiles + 1, np.int32)
+    lib.csr5_tile_ptr(
+        ctypes.c_int64(m),
+        ctypes.c_int64(num_tiles),
+        ctypes.c_int64(tile_nnz),
+        row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out

@@ -1,0 +1,272 @@
+// Native runtime components of the CSR5 TPU framework.
+//
+// The reference implements its host-side runtime in C (NIST mmio.{h,c},
+// ~620 LoC per backend copy) and C++ (the benchmark drivers' COO->CSR
+// build, CSR5_cuda/main.cu:157-312, and the serial golden-model SpMV,
+// main.cu:336-355). This file provides the same capabilities as one
+// shared library consumed from Python over ctypes:
+//
+//   * mm_load(path)            -- Matrix Market parse (coordinate
+//     real/integer/pattern, general/symmetric/skew-symmetric/hermitian),
+//     1->0 based indexing, symmetric expansion, stable CSR build that
+//     keeps duplicates and file order within a row (exact behavioural
+//     parity with utils/mmio.py, which is the Python oracle for this
+//     code).
+//   * csr_spmv_f64/f32         -- serial CSR SpMV (the golden model).
+//   * csr5_tile_ptr            -- binary-search tile partition pointer
+//     (generate_partition_pointer_s1_kernel, format_cuda.h:21-42) as a
+//     native fast path for huge conversions.
+//
+// No external dependencies; C++17; built by native/Makefile into
+// libcsr5native.so.
+
+#include <cctype>
+#include <cerrno>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Loaded {
+  int64_t m = 0, n = 0, nnz = 0;
+  std::vector<int64_t> row_ptr;
+  std::vector<int32_t> col_idx;
+  std::vector<double> values;
+  std::string error;
+};
+
+// thread-unsafe simple error slot for the last failed load
+thread_local std::string g_last_error;
+
+bool starts_with(const std::string& s, const char* p) {
+  return s.rfind(p, 0) == 0;
+}
+
+void lower(std::string& s) {
+  for (auto& c : s) c = static_cast<char>(std::tolower(static_cast<unsigned char>(c)));
+}
+
+// fast float parse fallback to strtod; fast paths for plain ints
+double parse_value(const char*& p) {
+  char* end = nullptr;
+  double v = std::strtod(p, &end);
+  p = end;
+  return v;
+}
+
+int64_t parse_int(const char*& p) {
+  while (*p == ' ' || *p == '\t') ++p;
+  bool neg = false;
+  if (*p == '-') { neg = true; ++p; }
+  int64_t v = 0;
+  while (*p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+  return neg ? -v : v;
+}
+
+Loaded* load_impl(const char* path) {
+  auto out = new Loaded();
+  FILE* f = std::fopen(path, "rb");
+  if (!f) {
+    out->error = std::string("cannot open: ") + path + ": " + std::strerror(errno);
+    return out;
+  }
+  // read whole file (mtx files are line-oriented ASCII)
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::string buf;
+  buf.resize(static_cast<size_t>(fsize));
+  if (fsize > 0 && std::fread(buf.data(), 1, static_cast<size_t>(fsize), f) !=
+                        static_cast<size_t>(fsize)) {
+    out->error = "short read";
+    std::fclose(f);
+    return out;
+  }
+  std::fclose(f);
+
+  const char* p = buf.c_str();
+  const char* bufend = p + buf.size();
+
+  auto next_line = [&](std::string& line) -> bool {
+    if (p >= bufend) return false;
+    const char* nl = static_cast<const char*>(std::memchr(p, '\n', bufend - p));
+    if (!nl) nl = bufend;
+    line.assign(p, nl - p);
+    p = (nl < bufend) ? nl + 1 : bufend;
+    if (!line.empty() && line.back() == '\r') line.pop_back();
+    return true;
+  };
+
+  // banner: %%MatrixMarket matrix coordinate <field> <symmetry>
+  std::string line;
+  if (!next_line(line) || !starts_with(line, "%%MatrixMarket")) {
+    out->error = "missing %%MatrixMarket banner";
+    return out;
+  }
+  lower(line);
+  bool is_pattern = line.find("pattern") != std::string::npos;
+  bool is_real = line.find("real") != std::string::npos;
+  bool is_integer = line.find("integer") != std::string::npos;
+  bool is_complex = line.find("complex") != std::string::npos;
+  bool sym = line.find(" symmetric") != std::string::npos &&
+             line.find("skew-symmetric") == std::string::npos;
+  bool skew = line.find("skew-symmetric") != std::string::npos;
+  bool herm = line.find("hermitian") != std::string::npos;
+  if (line.find("coordinate") == std::string::npos) {
+    out->error = "only coordinate (sparse) Matrix Market supported";
+    return out;
+  }
+  if (is_complex) {
+    out->error = "complex matrices unsupported (main.cu:180-184 parity)";
+    return out;
+  }
+  if (!is_pattern && !is_real && !is_integer) {
+    out->error = "unknown field in banner";
+    return out;
+  }
+
+  // comments then size line
+  for (;;) {
+    if (!next_line(line)) { out->error = "missing size line"; return out; }
+    if (!line.empty() && line[0] != '%') break;
+  }
+  {
+    const char* q = line.c_str();
+    out->m = parse_int(q);
+    out->n = parse_int(q);
+    out->nnz = parse_int(q);
+  }
+  if (out->m <= 0 || out->n <= 0 || out->nnz < 0) {
+    out->error = "bad size line";
+    return out;
+  }
+
+  const bool mirror = sym || skew || herm;
+  int64_t declared = out->nnz;
+  std::vector<int32_t> rows, cols;
+  std::vector<double> vals;
+  rows.reserve(static_cast<size_t>(declared) * (mirror ? 2 : 1));
+  cols.reserve(rows.capacity());
+  vals.reserve(rows.capacity());
+
+  for (int64_t k = 0; k < declared; ++k) {
+    const char* q;
+    do {
+      if (!next_line(line)) { out->error = "truncated data section"; return out; }
+      q = line.c_str();
+      while (*q == ' ' || *q == '\t') ++q;
+    } while (*q == '\0' || *q == '%');
+    int64_t i = parse_int(q) - 1;  // 1 -> 0 based (main.cu:227-228)
+    int64_t j = parse_int(q) - 1;
+    double v = 1.0;  // pattern value (main.cu:219-222)
+    if (!is_pattern) v = parse_value(q);
+    if (i < 0 || i >= out->m || j < 0 || j >= out->n) {
+      out->error = "index out of range at entry " + std::to_string(k + 1);
+      return out;
+    }
+    rows.push_back(static_cast<int32_t>(i));
+    cols.push_back(static_cast<int32_t>(j));
+    vals.push_back(v);
+    if (mirror && i != j) {  // symmetric expansion (main.cu:243-270)
+      rows.push_back(static_cast<int32_t>(j));
+      cols.push_back(static_cast<int32_t>(i));
+      vals.push_back(skew ? -v : v);
+    }
+  }
+
+  // stable counting-sort CSR build (main.cu:276-312): keeps duplicates,
+  // within-row order follows (expanded) file order
+  const int64_t nnz = static_cast<int64_t>(rows.size());
+  out->nnz = nnz;
+  out->row_ptr.assign(static_cast<size_t>(out->m) + 1, 0);
+  for (int64_t k = 0; k < nnz; ++k) out->row_ptr[rows[k] + 1]++;
+  for (int64_t r = 0; r < out->m; ++r) out->row_ptr[r + 1] += out->row_ptr[r];
+  out->col_idx.resize(static_cast<size_t>(nnz));
+  out->values.resize(static_cast<size_t>(nnz));
+  std::vector<int64_t> next(out->row_ptr.begin(), out->row_ptr.end() - 1);
+  for (int64_t k = 0; k < nnz; ++k) {
+    int64_t dst = next[rows[k]]++;
+    out->col_idx[static_cast<size_t>(dst)] = cols[k];
+    out->values[static_cast<size_t>(dst)] = vals[k];
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---- loader handle API ------------------------------------------------
+
+void* mm_load(const char* path) {
+  Loaded* l = load_impl(path);
+  if (!l->error.empty()) {
+    g_last_error = l->error;
+    delete l;
+    return nullptr;
+  }
+  return l;
+}
+
+const char* mm_last_error() { return g_last_error.c_str(); }
+
+int64_t mm_rows(void* h) { return static_cast<Loaded*>(h)->m; }
+int64_t mm_cols(void* h) { return static_cast<Loaded*>(h)->n; }
+int64_t mm_nnz(void* h) { return static_cast<Loaded*>(h)->nnz; }
+
+void mm_fill(void* h, int64_t* row_ptr, int32_t* col_idx, double* values) {
+  Loaded* l = static_cast<Loaded*>(h);
+  std::memcpy(row_ptr, l->row_ptr.data(), l->row_ptr.size() * sizeof(int64_t));
+  std::memcpy(col_idx, l->col_idx.data(), l->col_idx.size() * sizeof(int32_t));
+  std::memcpy(values, l->values.data(), l->values.size() * sizeof(double));
+}
+
+void mm_free(void* h) { delete static_cast<Loaded*>(h); }
+
+// ---- golden-model serial SpMV (main.cu:336-355) -------------------------
+
+void csr_spmv_f64(int64_t m, const int64_t* row_ptr, const int32_t* col_idx,
+                  const double* values, const double* x, double alpha,
+                  double* y) {
+  for (int64_t r = 0; r < m; ++r) {
+    double acc = 0.0;
+    for (int64_t k = row_ptr[r]; k < row_ptr[r + 1]; ++k)
+      acc += values[k] * x[col_idx[k]];
+    y[r] = alpha * acc;
+  }
+}
+
+void csr_spmv_f32(int64_t m, const int64_t* row_ptr, const int32_t* col_idx,
+                  const float* values, const float* x, float alpha, float* y) {
+  for (int64_t r = 0; r < m; ++r) {
+    float acc = 0.0f;
+    for (int64_t k = row_ptr[r]; k < row_ptr[r + 1]; ++k)
+      acc += values[k] * x[col_idx[k]];
+    y[r] = alpha * acc;
+  }
+}
+
+// ---- native conversion fast paths ---------------------------------------
+
+// tile_ptr[t] = row containing nonzero t*tile_nnz: binary search of the
+// right boundary (generate_partition_pointer_s1_kernel, format_cuda.h:21-42)
+void csr5_tile_ptr(int64_t m, int64_t p, int64_t tile_nnz,
+                   const int64_t* row_ptr, int32_t* tile_ptr) {
+  for (int64_t t = 0; t <= p; ++t) {
+    int64_t target = t * tile_nnz;
+    int64_t lo = 0, hi = m;  // find last r with row_ptr[r] <= target
+    while (lo < hi) {
+      int64_t mid = (lo + hi + 1) >> 1;
+      if (row_ptr[mid] <= target) lo = mid;
+      else hi = mid - 1;
+    }
+    tile_ptr[t] = static_cast<int32_t>(lo);  // == clip(searchsorted-1, 0, m)
+  }
+}
+
+}  // extern "C"
