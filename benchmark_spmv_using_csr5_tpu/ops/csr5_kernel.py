@@ -56,16 +56,41 @@ from ..models.formats import CSR5Matrix
 LANES = 128
 #: meta plane layout: [row_start, page_cnt, <pad...>, pages[0:pmax]]
 META_HDR = 8
-#: static page-unroll limit; tiles needing more pages fall back to XLA
+#: static page-unroll limit (tier 1); beyond it the gather switches to a
+#: latency-hidden fori_loop over the page list (tier 2)
 MAX_UNROLL_PAGES = 64
+#: tier-2 page-list cap; matrices needing more pages per tile fall back
+#: to the XLA executor
+MAX_FORI_PAGES = 4096
+#: tier-2 fori body processes this many pages per iteration (hides the
+#: scalar-load -> dynamic-slice latency chain that serializes a plain loop)
+FORI_PAGE_UNROLL = 4
 
 # v1 residency limits (x + y + double-buffered blocks must fit VMEM)
 _VMEM_BUDGET = 96 * 1024 * 1024
+#: per-buffer cap for the double-buffered SMEM meta block
+_SMEM_META_BUDGET = 64 * 1024
 
 
 def _meta_width(pmax: int) -> int:
     # SMEM-blocked planes need a lane-aligned (128-multiple) minor dim
     return -(-(META_HDR + pmax) // LANES) * LANES
+
+
+def _effective_block(cfg_tiles_per_block: int, pmax: int, num_tiles: int) -> int:
+    """Largest power-of-two B <= tiles_per_block whose meta block fits SMEM.
+
+    num_tiles is padded to a multiple of tiles_per_block by the conversion,
+    so any power-of-two divisor of it keeps the grid exact.
+    """
+    B = 1
+    while (
+        B * 2 <= cfg_tiles_per_block
+        and (B * 2) * _meta_width(pmax) * 4 <= _SMEM_META_BUDGET
+        and num_tiles % (B * 2) == 0
+    ):
+        B *= 2
+    return B
 
 
 def pallas_supported(a5: CSR5Matrix) -> bool:
@@ -74,9 +99,11 @@ def pallas_supported(a5: CSR5Matrix) -> bool:
         return False
     if cfg.sigma % 8 != 0 or cfg.omega != LANES:
         return False
-    if a5.pmax > MAX_UNROLL_PAGES:
+    if a5.pmax > MAX_FORI_PAGES:
         return False
-    B = cfg.tiles_per_block
+    if _meta_width(a5.pmax) * 4 > _SMEM_META_BUDGET:
+        return False
+    B = _effective_block(cfg.tiles_per_block, a5.pmax, a5.num_tiles)
     blk = 2 * (B * cfg.tile_nnz * 8 + B * a5.capw * 4)  # double-buffered
     vmem = (a5.n_pad + LANES + a5.m_pad) * 4 + blk
     return vmem <= _VMEM_BUDGET
@@ -89,11 +116,17 @@ def build_meta_plane(a5: CSR5Matrix) -> jax.Array:
     tracers in the distributed path.
     """
     p, pmax = a5.num_tiles, a5.pmax
-    meta = jnp.zeros((p, _meta_width(pmax)), dtype=jnp.int32)
-    meta = meta.at[:, 0].set(a5.tile_ptr[:-1])
-    meta = meta.at[:, 1].set(a5.page_cnt)
-    meta = meta.at[:, META_HDR : META_HDR + pmax].set(a5.pages)
-    return meta
+    mw = _meta_width(pmax)
+    parts = [
+        a5.tile_ptr[:-1, None],
+        a5.page_cnt[:, None],
+        jnp.zeros((p, META_HDR - 2), jnp.int32),
+        a5.pages,
+    ]
+    tail = mw - META_HDR - pmax
+    if tail:
+        parts.append(jnp.zeros((p, tail), jnp.int32))
+    return jnp.concatenate(parts, axis=1).astype(jnp.int32)
 
 
 def _lane_iota(shape):
@@ -123,13 +156,19 @@ def _spmv_kernel(
     val_ref,  # (B*sigma, 128) f32 VMEM block
     win_ref,  # (B, capw) i32 VMEM block (packed sub | lane<<16)
     x_ref,  # (n_pad/128 + 1, 128) f32 VMEM whole (last row zero sentinel)
-    y_ref,  # (m_pad/128, 128) f32 VMEM whole (output)
+    out_ref,  # (m_pad/128, 128) f32 HBM (ANY) output, written once at end
+    y_ref,  # (m_pad/128, 128) f32 VMEM scratch accumulator
+    out_sem,  # DMA semaphore for the final copy-out
     *,
     B: int,
     sigma: int,
     pmax: int,
     capw: int,
 ):
+    # y accumulates in VMEM *scratch*, which persists across the
+    # sequential grid; making y a pipelined output block instead causes
+    # Pallas to write the whole window back to HBM every grid step
+    # (~7x streaming collapse, NOTES.md session-2 bisection)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -153,17 +192,44 @@ def _spmv_kernel(
         col = col_ref[pl.ds(b * sigma, sigma), :]
         val = val_ref[pl.ds(b * sigma, sigma), :]
 
-        # ---- 1. x gather: static masked unroll over page slots ----------
+        # ---- 1. x gather over the tile's page list ----------------------
         lane = col & (LANES - 1)
         page_of = col >> 7
-        xg = jnp.zeros((sigma, LANES), jnp.float32)
-        for k in range(pmax):
+
+        def _page_step(k, acc):
             pid = meta_ref[b, META_HDR + k]
             xrow = x_ref[pl.ds(pid, 1), :]  # (1,128); sentinel row is zero
             g = jnp.take_along_axis(
                 jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
             )
-            xg = xg + jnp.where(page_of == pid, g, 0.0)
+            return acc + jnp.where(page_of == pid, g, 0.0)
+
+        xg = jnp.zeros((sigma, LANES), jnp.float32)
+        if pmax <= MAX_UNROLL_PAGES:
+            # tier 1: static masked unroll (fully pipelined)
+            for k in range(pmax):
+                xg = _page_step(k, xg)
+        else:
+            # tier 2: fori over the live page count. The body keeps
+            # FORI_PAGE_UNROLL *independent* accumulators so neither the
+            # gathers nor the adds form one serial latency chain;
+            # overshoot slots read sentinel pages and match nothing.
+            U = FORI_PAGE_UNROLL
+            cnt = meta_ref[b, 1]
+
+            def body(j, accs):
+                return tuple(
+                    _page_step(j * U + u, a) for u, a in enumerate(accs)
+                )
+
+            accs = jax.lax.fori_loop(
+                0,
+                (cnt + U - 1) // U,
+                body,
+                tuple(xg for _ in range(U)),
+            )
+            for a in accs:
+                xg = xg + a
         prod = val * xg
 
         # ---- 2. tile-local prefix in element order (MXU scans) ----------
@@ -219,6 +285,12 @@ def _spmv_kernel(
         by = rs >> 7  # window base row-block (128-row aligned)
         y_ref[pl.ds(by, G), :] += W2
 
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _flush():
+        cp = pltpu.make_async_copy(y_ref, out_ref, out_sem)
+        cp.start()
+        cp.wait()
+
 
 def _make_pallas_call(p, B, sigma, pmax, capw, n_pad, m_pad, interpret):
     kernel = functools.partial(_spmv_kernel, B=B, sigma=sigma, pmax=pmax, capw=capw)
@@ -234,9 +306,11 @@ def _make_pallas_call(p, B, sigma, pmax, capw, n_pad, m_pad, interpret):
             pl.BlockSpec((B, capw), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole (+ sentinel row)
         ],
-        out_specs=pl.BlockSpec(
-            (m_pad // LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # manual copy-out
+        scratch_shapes=[
+            pltpu.VMEM((m_pad // LANES, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
@@ -258,16 +332,17 @@ def _csr5_spmv_pallas_jit(a5: CSR5Matrix, x, alpha, interpret: bool):
 
     meta = build_meta_plane(a5)
     # fold alpha into x; append the zero sentinel page row
-    x_pad = jnp.zeros(n_pad + LANES, jnp.float32)
-    x_pad = x_pad.at[: a5.n].set(
-        x.astype(jnp.float32) * jnp.asarray(alpha, jnp.float32)
+    x_pad = jnp.pad(
+        x.astype(jnp.float32) * jnp.asarray(alpha, jnp.float32),
+        (0, n_pad + LANES - a5.n),
     )
     x2d = x_pad.reshape(n_pad // LANES + 1, LANES)
     col2d = a5.col_idx_tiles.reshape(p * sigma, LANES)
     val2d = a5.val_tiles.astype(jnp.float32).reshape(p * sigma, LANES)
 
+    B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
     call = _make_pallas_call(
-        p, cfg.tiles_per_block, sigma, a5.pmax, a5.capw, n_pad, m_pad, interpret
+        p, B, sigma, a5.pmax, a5.capw, n_pad, m_pad, interpret
     )
     y2d = call(meta, col2d, val2d, a5.win_map, x2d)
     return y2d.reshape(-1)[: a5.m].astype(x.dtype)

@@ -65,6 +65,22 @@ def test_kernel_row_spanning_many_tiles():
     )
 
 
+def test_kernel_tier2_fori_gather():
+    # scattered columns force pmax > MAX_UNROLL_PAGES -> the fori page
+    # loop (tier 2) must produce identical results
+    from benchmark_spmv_using_csr5_tpu.ops.csr5_kernel import MAX_UNROLL_PAGES
+
+    a_sp = synth.random_csr(1200, 30_000, 0.004, seed=13).astype(np.float32)
+    a5 = build_csr5(csr_from_scipy(a_sp), small_cfg(sigma=8))
+    assert a5.pmax > MAX_UNROLL_PAGES, a5.pmax
+    x = synth.dense_x(a_sp.shape[1], dtype=np.float32)
+    y_pl = np.asarray(csr5_spmv_pallas(a5, x, interpret=True))
+    y_ref = a_sp @ x
+    np.testing.assert_allclose(
+        y_pl, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max())
+    )
+
+
 def test_pallas_supported_gate():
     a_sp = synth.random_csr(100, 100, 0.05, dtype=np.float32)
     a5 = build_csr5(csr_from_scipy(a_sp))
