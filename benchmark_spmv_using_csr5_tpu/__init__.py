@@ -15,7 +15,7 @@ from .config import AUTO_TUNED_SIGMA, CSR5Config, Format, Status, compute_sigma
 from .models.formats import COOMatrix, CSR5Matrix, CSRMatrix, csr_from_numpy, csr_from_scipy
 from .models.handle import SpMVHandle
 from .ops.convert import build_csr5, csr5_to_csr
-from .ops.csr5_spmv import csr5_spmv, csr5_spmv_xla
+from .ops.csr5_spmv import csr5_spmm, csr5_spmm_xla, csr5_spmv, csr5_spmv_xla
 from .ops.reference import coo_spmv, csr_spmm, csr_spmv
 
 __version__ = "0.1.0"
@@ -34,6 +34,8 @@ __all__ = [
     "SpMVHandle",
     "build_csr5",
     "csr5_to_csr",
+    "csr5_spmm",
+    "csr5_spmm_xla",
     "csr5_spmv",
     "csr5_spmv_xla",
     "csr_spmv",

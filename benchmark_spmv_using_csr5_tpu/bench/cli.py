@@ -52,6 +52,13 @@ def main(argv=None):
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--num-run", type=int, default=50)
     ap.add_argument("--backend", default="auto", choices=["auto", "pallas", "xla"])
+    ap.add_argument(
+        "--spmm",
+        type=int,
+        default=1,
+        metavar="K",
+        help="benchmark SpMM with K right-hand sides instead of SpMV",
+    )
     args = ap.parse_args(argv)
 
     rp, ci, v, shape, name = load_matrix(args)
@@ -64,6 +71,7 @@ def main(argv=None):
         sigma=args.sigma,
         num_run=args.num_run,
         backend=args.backend,
+        num_rhs=args.spmm,
     )
     print(res.report())
     return 0 if res.check_ok else 1

@@ -80,10 +80,12 @@ def time_spmv_device_loop(spmv_fn, x, num_run: int) -> float:
         def body(_, carry):
             acc, xx = carry
             y = spmv_fn(xx)
-            acc = acc + y[:1]
-            # re-derive x with a zero-scaled dependency on acc: forces the
-            # loop body to stay sequential without changing the values
-            xx = x + acc[0] * 0.0
+            acc = acc + y.ravel()[:1]
+            # re-derive x with a tiny-scaled dependency on acc: forces the
+            # loop body to stay sequential; a 0.0 scale can be folded away
+            # by XLA (loop-invariant hoisting), 1e-30 cannot and perturbs
+            # the values by less than one ulp
+            xx = x + acc[0] * jnp.asarray(1e-30, x.dtype)
             return acc, xx
 
         acc, _ = jax.lax.fori_loop(
@@ -112,12 +114,16 @@ def run_benchmark(
     num_run: int = 50,
     backend: str = "auto",
     roofline_gbps: Optional[float] = None,
+    num_rhs: int = 1,
 ) -> BenchResult:
+    """Benchmark SpMV (num_rhs=1) or SpMM (num_rhs>1) on one matrix."""
     m, n = shape
     dtype = values.dtype
     if x is None:
         rng = np.random.default_rng(0)
-        x = rng.integers(1, 10, size=n).astype(dtype)  # main.cu:323-326
+        x = rng.integers(1, 10, size=(n, num_rhs) if num_rhs > 1 else n).astype(
+            dtype
+        )  # main.cu:323-326
 
     csr = csr_from_numpy(row_ptr, col_idx, values, shape)
     xd = jnp.asarray(x)
@@ -136,13 +142,33 @@ def run_benchmark(
     )
     convert_ms = (time.perf_counter() - t0) * 1e3
 
-    if backend == "auto":
+    if num_rhs > 1:
+        from ..ops.csr5_kernel import csr5_spmm_pallas, pallas_spmm_supported
+        from ..ops.csr5_spmv import csr5_spmm_xla
+
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and pallas_spmm_supported(a5, num_rhs)
+                else "xla"
+            )
+        if backend == "pallas":
+            spmv_fn = lambda xx: csr5_spmm_pallas(a5, xx)  # noqa: E731
+        else:
+            spmv_fn = lambda xx: csr5_spmm_xla(a5, xx)  # noqa: E731
+    elif backend == "auto":
         backend = (
             "pallas"
             if jax.default_backend() == "tpu" and pallas_supported(a5)
             else "xla"
         )
-    if backend == "pallas":
+        spmv_fn = (
+            (lambda xx: csr5_spmv_pallas(a5, xx))
+            if backend == "pallas"
+            else (lambda xx: csr5_spmv_xla(a5, xx))
+        )
+    elif backend == "pallas":
         spmv_fn = lambda xx: csr5_spmv_pallas(a5, xx)  # noqa: E731
     else:
         spmv_fn = lambda xx: csr5_spmv_xla(a5, xx)  # noqa: E731
@@ -157,7 +183,13 @@ def run_benchmark(
 
     spmv_ms = time_spmv_device_loop(spmv_fn, xd, num_run)
     met = perf.spmv_metrics(
-        m, csr.nnz, spmv_ms, dtype.itemsize, roofline_gbps=roofline_gbps
+        m,
+        csr.nnz,
+        spmv_ms,
+        dtype.itemsize,
+        roofline_gbps=roofline_gbps,
+        num_rhs=num_rhs,
+        n=n,
     )
     return BenchResult(
         name=name,

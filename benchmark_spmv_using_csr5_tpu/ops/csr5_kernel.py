@@ -155,15 +155,16 @@ def _spmv_kernel(
     col_ref,  # (B*sigma, 128) i32 VMEM block
     val_ref,  # (B*sigma, 128) f32 VMEM block
     win_ref,  # (B, capw) i32 VMEM block (packed sub | lane<<16)
-    x_ref,  # (n_pad/128 + 1, 128) f32 VMEM whole (last row zero sentinel)
-    out_ref,  # (m_pad/128, 128) f32 HBM (ANY) output, written once at end
-    y_ref,  # (m_pad/128, 128) f32 VMEM scratch accumulator
+    x_ref,  # (R*(n_pad/128 + 1), 128) f32 VMEM whole (zero sentinel rows)
+    out_ref,  # (R*m_pad/128, 128) f32 HBM (ANY) output, written once at end
+    y_ref,  # (R*m_pad/128, 128) f32 VMEM scratch accumulator
     out_sem,  # DMA semaphore for the final copy-out
     *,
     B: int,
     sigma: int,
     pmax: int,
     capw: int,
+    R: int = 1,
 ):
     # y accumulates in VMEM *scratch*, which persists across the
     # sequential grid; making y a pipelined output block instead causes
@@ -176,7 +177,8 @@ def _spmv_kernel(
         y_ref[:] = jnp.zeros_like(y_ref)
 
     G = capw // LANES
-    nv = sigma // 8
+    nx_rows = x_ref.shape[0] // R
+    my_rows = y_ref.shape[0] // R
 
     # prefix-scan operators (MXU): LT_s[s,s']=s'<=s ; LTX[c,l]=c<l (strict)
     lt_s = (
@@ -192,98 +194,114 @@ def _spmv_kernel(
         col = col_ref[pl.ds(b * sigma, sigma), :]
         val = val_ref[pl.ds(b * sigma, sigma), :]
 
-        # ---- 1. x gather over the tile's page list ----------------------
+        # ---- 1. x gather over the tile's page list (all R rhs) ----------
         lane = col & (LANES - 1)
         page_of = col >> 7
 
-        def _page_step(k, acc):
+        def _page_step(k, accs):
             pid = meta_ref[b, META_HDR + k]
-            xrow = x_ref[pl.ds(pid, 1), :]  # (1,128); sentinel row is zero
-            g = jnp.take_along_axis(
-                jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
-            )
-            return acc + jnp.where(page_of == pid, g, 0.0)
+            match = page_of == pid
+            out = []
+            for r, acc in enumerate(accs):
+                xrow = x_ref[pl.ds(r * nx_rows + pid, 1), :]  # (1,128)
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
+                )
+                out.append(acc + jnp.where(match, g, 0.0))
+            return tuple(out)
 
-        xg = jnp.zeros((sigma, LANES), jnp.float32)
+        zeros = jnp.zeros((sigma, LANES), jnp.float32)
+        xgs = tuple(zeros for _ in range(R))
         if pmax <= MAX_UNROLL_PAGES:
             # tier 1: static masked unroll (fully pipelined)
             for k in range(pmax):
-                xg = _page_step(k, xg)
+                xgs = _page_step(k, xgs)
         else:
-            # tier 2: fori over the live page count. The body keeps
-            # FORI_PAGE_UNROLL *independent* accumulators so neither the
-            # gathers nor the adds form one serial latency chain;
+            # tier 2: fori over the live page count; FORI_PAGE_UNROLL
+            # pages per iteration with independent accumulator chains so
+            # the scalar-load -> slice -> gather latency overlaps;
             # overshoot slots read sentinel pages and match nothing.
-            U = FORI_PAGE_UNROLL
+            U = max(1, FORI_PAGE_UNROLL // R)  # bound live vreg pressure
             cnt = meta_ref[b, 1]
 
-            def body(j, accs):
+            def body(j, accs_u):
                 return tuple(
-                    _page_step(j * U + u, a) for u, a in enumerate(accs)
+                    _page_step(j * U + u, a) for u, a in enumerate(accs_u)
                 )
 
-            accs = jax.lax.fori_loop(
+            accs_u = jax.lax.fori_loop(
                 0,
                 (cnt + U - 1) // U,
                 body,
-                tuple(xg for _ in range(U)),
+                tuple(xgs for _ in range(U)),
             )
-            for a in accs:
-                xg = xg + a
-        prod = val * xg
+            xgs = tuple(
+                sum(a[r] for a in accs_u) for r in range(R)
+            )
 
-        # ---- 2. tile-local prefix in element order (MXU scans) ----------
-        # HIGHEST => f32-accurate bf16-pass decomposition; plain bf16
-        # passes lose ~4e-3 relative on long prefixes (1% check headroom)
-        pv = jax.lax.dot_general(  # within-lane inclusive prefix
-            lt_s, prod, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        lane_tot = pv[sigma - 1 : sigma, :]  # (1,128)
-        lane_excl = jax.lax.dot_general(  # exclusive cross-lane carry
-            lane_tot, ltx, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        lane_excl_b = jnp.broadcast_to(lane_excl, (8, LANES))
-
-        # ---- 3. routed window extraction ---------------------------------
+        # ---- per-rhs: product, MXU prefix scans, window, accumulate -----
         rs = meta_ref[b, 0]
         a_off = rs & (LANES - 1)  # first valid slot in the window
-        w_groups = []
+        by = rs >> 7  # window base row-block (128-row aligned)
+
+        # decode window maps once; reuse across rhs
+        wms = []
         for g in range(G):
             wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
-            ws = wm & 0xFFFF
-            wl = wm >> 16
-            # R1[s, j] = pv[s, wl[j]]
-            R1 = jnp.take_along_axis(
-                pv, jnp.broadcast_to(wl, (sigma, LANES)), axis=1
+            wms.append((wm & 0xFFFF, wm >> 16))
+
+        for r in range(R):
+            prod = val * xgs[r]
+
+            # HIGHEST => f32-accurate bf16-pass decomposition; plain bf16
+            # passes lose ~4e-3 relative on long prefixes (1% headroom)
+            pv = jax.lax.dot_general(  # within-lane inclusive prefix
+                lt_s, prod, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            wv = _taa_sub8(R1, ws, sigma)  # (1,128) within-lane prefix
-            cl = jnp.take_along_axis(lane_excl_b, jnp.broadcast_to(wl, (8, LANES)), axis=1)[0:1]
-            w_groups.append(wv + cl)
-        W_end = (
-            w_groups[0] if G == 1 else jnp.concatenate(w_groups, axis=0)
-        )  # (G,128)
-
-        # W_prev[d] = W_end[d-1] across the flattened (G*128,) window
-        rolled = pltpu.roll(W_end, 1, axis=1)
-        if G > 1:
-            down = pltpu.roll(W_end, 1, axis=0)
-            W_prev = jnp.where(
-                _lane_iota(W_end.shape) == 0, pltpu.roll(down, 1, axis=1), rolled
+            lane_tot = pv[sigma - 1 : sigma, :]  # (1,128)
+            lane_excl = jax.lax.dot_general(  # exclusive cross-lane carry
+                lane_tot, ltx, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-        else:
-            W_prev = rolled
+            lane_excl_b = jnp.broadcast_to(lane_excl, (8, LANES))
 
-        d_idx = _sub_iota(W_end.shape) * LANES + _lane_iota(W_end.shape)
-        W_prev = jnp.where(d_idx - 1 >= a_off, W_prev, 0.0)
-        W2 = jnp.where(d_idx >= a_off, W_end - W_prev, 0.0)
+            w_groups = []
+            for g in range(G):
+                ws, wl = wms[g]
+                # R1[s, j] = pv[s, wl[j]]
+                R1 = jnp.take_along_axis(
+                    pv, jnp.broadcast_to(wl, (sigma, LANES)), axis=1
+                )
+                wv = _taa_sub8(R1, ws, sigma)  # (1,128) within-lane prefix
+                cl = jnp.take_along_axis(
+                    lane_excl_b, jnp.broadcast_to(wl, (8, LANES)), axis=1
+                )[0:1]
+                w_groups.append(wv + cl)
+            W_end = (
+                w_groups[0] if G == 1 else jnp.concatenate(w_groups, axis=0)
+            )  # (G,128)
 
-        # ---- 4. sequential window accumulation ---------------------------
-        by = rs >> 7  # window base row-block (128-row aligned)
-        y_ref[pl.ds(by, G), :] += W2
+            # W_prev[d] = W_end[d-1] across the flattened (G*128,) window
+            rolled = pltpu.roll(W_end, 1, axis=1)
+            if G > 1:
+                down = pltpu.roll(W_end, 1, axis=0)
+                W_prev = jnp.where(
+                    _lane_iota(W_end.shape) == 0,
+                    pltpu.roll(down, 1, axis=1),
+                    rolled,
+                )
+            else:
+                W_prev = rolled
+
+            d_idx = _sub_iota(W_end.shape) * LANES + _lane_iota(W_end.shape)
+            W_prev = jnp.where(d_idx - 1 >= a_off, W_prev, 0.0)
+            W2 = jnp.where(d_idx >= a_off, W_end - W_prev, 0.0)
+
+            # sequential window accumulation (the calibrator analogue)
+            y_ref[pl.ds(r * my_rows + by, G), :] += W2
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _flush():
@@ -292,23 +310,25 @@ def _spmv_kernel(
         cp.wait()
 
 
-def _make_pallas_call(p, B, sigma, pmax, capw, n_pad, m_pad, interpret):
-    kernel = functools.partial(_spmv_kernel, B=B, sigma=sigma, pmax=pmax, capw=capw)
+def _make_pallas_call(p, B, sigma, pmax, capw, n_pad, m_pad, interpret, R=1):
+    kernel = functools.partial(
+        _spmv_kernel, B=B, sigma=sigma, pmax=pmax, capw=capw, R=R
+    )
     mw = _meta_width(pmax)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((m_pad // LANES, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R * m_pad // LANES, LANES), jnp.float32),
         grid=(p // B,),
         in_specs=[
             pl.BlockSpec((B, mw), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B * sigma, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B * sigma, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, capw), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole (+ sentinel row)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole (+ sentinel rows)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # manual copy-out
         scratch_shapes=[
-            pltpu.VMEM((m_pad // LANES, LANES), jnp.float32),
+            pltpu.VMEM((R * m_pad // LANES, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -316,8 +336,8 @@ def _make_pallas_call(p, B, sigma, pmax, capw, n_pad, m_pad, interpret):
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * p * sigma * LANES,
-            bytes_accessed=p * sigma * LANES * 8 + (m_pad + n_pad) * 4,
+            flops=2 * p * sigma * LANES * R,
+            bytes_accessed=p * sigma * LANES * 8 + R * (m_pad + n_pad) * 4,
             transcendentals=0,
         ),
     )
@@ -353,3 +373,50 @@ def csr5_spmv_pallas(
 ) -> jax.Array:
     """y = alpha * A @ x via the Pallas CSR5 kernel."""
     return _csr5_spmv_pallas_jit(a5, x, alpha, interpret)
+
+
+def pallas_spmm_supported(a5: CSR5Matrix, num_rhs: int) -> bool:
+    """SpMM gate: SpMV limits plus R copies of x and y resident in VMEM."""
+    if not pallas_supported(a5):
+        return False
+    B = _effective_block(a5.config.tiles_per_block, a5.pmax, a5.num_tiles)
+    blk = 2 * (B * a5.config.tile_nnz * 8 + B * a5.capw * 4)
+    vmem = num_rhs * (a5.n_pad + LANES + a5.m_pad) * 4 + blk
+    return 1 <= num_rhs <= 16 and vmem <= _VMEM_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _csr5_spmm_pallas_jit(a5: CSR5Matrix, xm, alpha, interpret: bool):
+    cfg = a5.config
+    p, sigma = a5.num_tiles, cfg.sigma
+    n_pad, m_pad = a5.n_pad, a5.m_pad
+    R = xm.shape[1]
+
+    meta = build_meta_plane(a5)
+    # (n, R) -> R stacked (n_pad/128 + 1, 128) planes, alpha folded in
+    xt = xm.T.astype(jnp.float32) * jnp.asarray(alpha, jnp.float32)
+    x_pad = jnp.pad(xt, ((0, 0), (0, n_pad + LANES - a5.n)))
+    x2d = x_pad.reshape(R * (n_pad // LANES + 1), LANES)
+    col2d = a5.col_idx_tiles.reshape(p * sigma, LANES)
+    val2d = a5.val_tiles.astype(jnp.float32).reshape(p * sigma, LANES)
+
+    B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
+    call = _make_pallas_call(
+        p, B, sigma, a5.pmax, a5.capw, n_pad, m_pad, interpret, R=R
+    )
+    y2d = call(meta, col2d, val2d, a5.win_map, x2d)
+    ym = y2d.reshape(R, m_pad)[:, : a5.m]
+    return ym.T.astype(xm.dtype)
+
+
+def csr5_spmm_pallas(
+    a5: CSR5Matrix, x: jax.Array, alpha=1.0, interpret: bool = False
+) -> jax.Array:
+    """Y = alpha * A @ X for X (n, R) via the multi-rhs Pallas kernel.
+
+    The per-tile column decode, page loads and window maps are shared
+    across the R right-hand sides, so arithmetic intensity scales with R
+    while the dominant val/col stream is paid once (the SpMM extension of
+    BASELINE.json configs[3]; the reference has no SpMM).
+    """
+    return _csr5_spmm_pallas_jit(a5, x, alpha, interpret)

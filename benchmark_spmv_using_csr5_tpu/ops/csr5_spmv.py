@@ -78,3 +78,30 @@ def csr5_spmv(a5: CSR5Matrix, x: jax.Array, alpha=1.0, backend: str = "auto") ->
 
         return csr5_spmv_pallas(a5, x, alpha)
     return csr5_spmv_xla(a5, x, alpha)
+
+
+@jax.jit
+def csr5_spmm_xla(a5: CSR5Matrix, x: jax.Array, alpha=1.0) -> jax.Array:
+    """Y = alpha * A @ X for X (n, R): XLA reference executor (vmapped
+    over right-hand sides)."""
+    return jax.vmap(
+        lambda col: csr5_spmv_xla(a5, col, alpha), in_axes=1, out_axes=1
+    )(x)
+
+
+def csr5_spmm(
+    a5: CSR5Matrix, x: jax.Array, alpha=1.0, backend: str = "auto"
+) -> jax.Array:
+    """Dispatching SpMM: multi-rhs Pallas kernel on TPU when supported."""
+    from .csr5_kernel import csr5_spmm_pallas, pallas_spmm_supported
+
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and pallas_spmm_supported(a5, int(x.shape[1]))
+            else "xla"
+        )
+    if backend == "pallas":
+        return csr5_spmm_pallas(a5, x, alpha)
+    return csr5_spmm_xla(a5, x, alpha)

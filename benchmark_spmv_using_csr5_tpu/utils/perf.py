@@ -80,9 +80,15 @@ def spmv_metrics(
     value_bytes: int,
     index_bytes: int = 4,
     roofline_gbps: Optional[float] = None,
+    num_rhs: int = 1,
+    n: Optional[int] = None,
 ) -> SpmvMetrics:
+    """SpMV metrics; for SpMM (num_rhs>1) flops scale by R and the bytes
+    model adds the marginal (x + y) vector traffic per extra rhs."""
     b = get_bytes(m, nnz, index_bytes, value_bytes)
-    fl = get_flops(nnz)
+    if num_rhs > 1:
+        b += (num_rhs - 1) * ((n or m) + m) * value_bytes
+    fl = get_flops(nnz) * num_rhs
     roofline = roofline_gbps if roofline_gbps is not None else device_hbm_gbps()
     gbps = b / (1e6 * time_ms)
     return SpmvMetrics(

@@ -1,7 +1,10 @@
-"""Ablation profiling of the CSR5 Pallas kernel v2 on real TPU.
+"""Ablation profiling of the CSR5 Pallas kernel v3 on real TPU.
 
-Stage-toggled variants of the production kernel, timed with the CSE-proof
-device loop. Run: python scripts/profile_kernel.py [sigma] [B]
+Variants of the production (scratch-accumulator) kernel with stages
+swapped, timed with the CSE-proof device loop. Every variant routes its
+result through the window gather + y scratch so nothing is DCE'd.
+
+Run: python scripts/profile_kernel.py
 """
 
 import functools
@@ -33,8 +36,9 @@ def device_loop_time(fn, x, iters=30):
         def body(_, carry):
             acc, xx = carry
             out = fn(xx)
-            acc = acc + out.ravel()[0]
-            return acc, x + acc * 0.0
+            acc = acc + out.ravel()[0] + out.ravel()[1234]
+            # 1e-30 scale: real data dependency XLA cannot fold away
+            return acc, x + acc * 1e-30
 
         acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), x))
         return acc
@@ -50,16 +54,16 @@ def device_loop_time(fn, x, iters=30):
     return max(t_full - t_one, 1e-9) / (iters - 1) * 1e3
 
 
-def make_variant(a5, stages, B=None):
+def make_variant(a5, *, gather=True, scan="mxu", window=True, B=None):
     cfg = a5.config
     p, sigma = a5.num_tiles, cfg.sigma
-    B = B or cfg.tiles_per_block
+    B = B or K._effective_block(cfg.tiles_per_block, a5.pmax, p)
     pmax, capw = a5.pmax, a5.capw
     n_pad, m_pad = a5.n_pad, a5.m_pad
     mw = K._meta_width(pmax)
     G = capw // LANES
 
-    def kernel(meta_ref, col_ref, val_ref, win_ref, x_ref, y_ref):
+    def kernel(meta_ref, col_ref, val_ref, win_ref, x_ref, out_ref, y_ref, sem):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -79,7 +83,7 @@ def make_variant(a5, stages, B=None):
             col = col_ref[pl.ds(b * sigma, sigma), :]
             val = val_ref[pl.ds(b * sigma, sigma), :]
 
-            if "gather" in stages:
+            if gather:
                 lane = col & (LANES - 1)
                 page_of = col >> 7
                 xg = jnp.zeros((sigma, LANES), jnp.float32)
@@ -94,7 +98,7 @@ def make_variant(a5, stages, B=None):
             else:
                 prod = val + 1e-30 * col.astype(jnp.float32)
 
-            if "scan" in stages:
+            if scan == "mxu":
                 pv = jax.lax.dot_general(
                     lt_s, prod, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -106,13 +110,44 @@ def make_variant(a5, stages, B=None):
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-            else:
+            elif scan == "mxu-default":
+                pv = jax.lax.dot_general(
+                    lt_s, prod, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                lane_tot = pv[sigma - 1 : sigma, :]
+                lane_excl = jax.lax.dot_general(
+                    lane_tot, ltx, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            elif scan == "roll":
+                # per-vreg scan8 + carry chain, cross-lane log-roll
+                sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+                parts = []
+                carry = jnp.zeros((1, LANES), jnp.float32)
+                for v in range(sigma // 8):
+                    s = prod[v * 8 : (v + 1) * 8, :]
+                    for sh in (1, 2, 4):
+                        s = s + jnp.where(
+                            sub8 >= sh, pltpu.roll(s, sh, axis=0), 0.0
+                        )
+                    s = s + jnp.broadcast_to(carry, (8, LANES))
+                    carry = s[7:8, :]
+                    parts.append(s)
+                pv = jnp.concatenate(parts, axis=0)
+                lane_tot = carry
+                li = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                t = lane_tot
+                for sh in (1, 2, 4, 8, 16, 32, 64):
+                    t = t + jnp.where(li >= sh, pltpu.roll(t, sh, axis=1), 0.0)
+                lane_excl = t - lane_tot
+            else:  # none
                 pv = prod
                 lane_excl = prod[0:1, :]
             lane_excl_b = jnp.broadcast_to(lane_excl, (8, LANES))
 
             rs = meta_ref[b, 0]
-            if "window" in stages:
+            if window:
                 a_off = rs & (LANES - 1)
                 w_groups = []
                 for g in range(G):
@@ -144,20 +179,26 @@ def make_variant(a5, stages, B=None):
                 W_prev = jnp.where(d_idx - 1 >= a_off, W_prev, 0.0)
                 W2 = jnp.where(d_idx >= a_off, W_end - W_prev, 0.0)
             else:
-                # consume all of pv so nothing is DCE'd
-                W2 = sum(
-                    pv[v * 8 : v * 8 + 8, :] for v in range(sigma // 8)
-                )[0:G] + lane_excl_b[0:G]
-                if G > 1 and W2.shape[0] < G:
-                    W2 = jnp.concatenate(
-                        [W2] + [W2[0:1]] * (G - W2.shape[0]), axis=0
-                    )
+                # fold all pv rows + win data so DMAs and reads survive DCE
+                acc8 = jnp.zeros((8, LANES), jnp.float32)
+                for v in range(sigma // 8):
+                    acc8 = acc8 + pv[v * 8 : (v + 1) * 8, :]
+                wsum = jnp.zeros((1, LANES), jnp.float32)
+                for g in range(G):
+                    wsum = wsum + win_ref[
+                        pl.ds(b, 1), pl.ds(g * LANES, LANES)
+                    ].astype(jnp.float32)
+                W2 = acc8[0:G] + jnp.broadcast_to(wsum, (G, LANES)) * 1e-30
+                W2 = W2 + lane_excl_b[0:G]
 
-            if "accum" in stages:
-                by = rs >> 7
-                y_ref[pl.ds(by, G), :] += W2
-            else:
-                y_ref[pl.ds(0, G), :] += W2
+            by = rs >> 7
+            y_ref[pl.ds(by, G), :] += W2
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _flush():
+            cp = pltpu.make_async_copy(y_ref, out_ref, sem)
+            cp.start()
+            cp.wait()
 
     call = pl.pallas_call(
         kernel,
@@ -170,9 +211,11 @@ def make_variant(a5, stages, B=None):
             pl.BlockSpec((B, capw), lambda i: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (m_pad // LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((m_pad // LANES, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=K._VMEM_BUDGET + 16 * 1024 * 1024
         ),
@@ -189,44 +232,64 @@ def make_variant(a5, stages, B=None):
 
 
 def main():
-    sigma = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    B = int(sys.argv[2]) if len(sys.argv) > 2 else None
     print("building matrix...", flush=True)
     a_sp = synth.banded(500_000, 27, dtype=np.float32).tocsr()
-    t0 = time.perf_counter()
-    a5 = build_csr5(
-        (a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape),
-        CSR5Config(sigma=sigma, tiles_per_block=B or 32),
-    )
+
+    def build(sigma, tpb=32):
+        return build_csr5(
+            (a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape),
+            CSR5Config(sigma=sigma, tiles_per_block=tpb),
+        )
+
+    a5 = build(24)
     print(
-        f"convert {time.perf_counter()-t0:.1f}s  p={a5.num_tiles} "
-        f"sigma={a5.sigma} capw={a5.capw} pmax={a5.pmax} "
-        f"B={a5.config.tiles_per_block}",
+        f"p={a5.num_tiles} sigma={a5.sigma} capw={a5.capw} pmax={a5.pmax}",
         flush=True,
     )
-    x = jnp.zeros(a5.n_pad + LANES, jnp.float32).at[: a5.n].set(
-        jnp.asarray(synth.dense_x(a_sp.shape[1], dtype=np.float32))
-    )
-    x2d = x.reshape(-1, LANES)
-
-    variants = [
-        ("full", {"gather", "scan", "window", "accum"}),
-        ("no-gather", {"scan", "window", "accum"}),
-        ("no-scan", {"gather", "window", "accum"}),
-        ("no-window", {"gather", "scan", "accum"}),
-        ("stream-only", set()),
-    ]
     nnz_bytes = a5.num_tiles * a5.sigma * 128 * 8
-    roof = nnz_bytes / 819e9 * 1e3
-    print(f"roofline(819GB/s) = {roof*1e3:.0f} us", flush=True)
-    for name, stages in variants:
+    print(f"roofline(819GB/s) = {nnz_bytes/819e9*1e6:.0f} us", flush=True)
+
+    def xfor(a5v):
+        xx = jnp.zeros(a5v.n_pad + LANES, jnp.float32).at[: a5v.n].set(
+            jnp.asarray(synth.dense_x(a_sp.shape[1], dtype=np.float32))
+        )
+        return xx.reshape(-1, LANES)
+
+    x2d = xfor(a5)
+    cases = [
+        ("full (mxu scans)", dict()),
+        ("scan=mxu-default", dict(scan="mxu-default")),
+        ("scan=roll", dict(scan="roll")),
+        ("scan=none", dict(scan="none")),
+        ("no-window", dict(window=False)),
+        ("no-gather", dict(gather=False)),
+        ("stream-only", dict(gather=False, scan="none", window=False)),
+        ("B=8", dict(B=8)),
+        ("B=32 explicit", dict(B=32)),
+    ]
+    for name, kw in cases:
         try:
-            run = make_variant(a5, stages, B)
+            run = make_variant(a5, **kw)
             ms = device_loop_time(run, x2d)
-            gbps = nnz_bytes / ms / 1e6
-            print(f"{name:12s} {ms:8.3f} ms   {gbps:7.1f} GB/s", flush=True)
+            print(
+                f"{name:18s} {ms:8.3f} ms   {nnz_bytes/ms/1e6:7.1f} GB/s",
+                flush=True,
+            )
         except Exception as e:
-            print(f"{name:12s} FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
+            print(f"{name:18s} FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)
+
+    for sig in (16, 32):
+        try:
+            a5v = build(sig)
+            runv = make_variant(a5v)
+            ms = device_loop_time(runv, xfor(a5v))
+            nb = a5v.num_tiles * a5v.sigma * 128 * 8
+            print(
+                f"full sigma={sig:2d}     {ms:8.3f} ms   {nb/ms/1e6:7.1f} GB/s",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"sigma={sig} FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":
