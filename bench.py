@@ -27,7 +27,7 @@ def main():
     results = {}
     for name, a in suite.items():
         res = run_benchmark(
-            name, a.indptr, a.indices, a.data, a.shape, num_run=50
+            name, a.indptr, a.indices, a.data, a.shape, num_run=200
         )
         results[name] = res
         print(res.report(), file=sys.stderr)

@@ -93,13 +93,19 @@ def time_spmv_device_loop(spmv_fn, x, num_run: int) -> float:
         )
         return acc
 
-    _ = _force(run_k(x, num_run))  # compile + warm
-    t0 = time.perf_counter()
-    _ = _force(run_k(x, num_run))
-    t_full = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _ = _force(run_k(x, 1))
-    t_one = time.perf_counter() - t0
+    # the tunnel adds +-2 ms of per-dispatch jitter: use min-of-3 samples
+    # of the full loop and of a 1-iteration loop (NOTES.md)
+    def sample(k, reps=3):
+        best = float("inf")
+        _ = _force(run_k(x, k))  # compile + warm
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = _force(run_k(x, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_full = sample(num_run)
+    t_one = sample(1)
     return max(t_full - t_one, 1e-9) / max(num_run - 1, 1) * 1e3
 
 

@@ -169,6 +169,10 @@ class CSR5Matrix:
     tail_row_start: int = struct.field(pytree_node=False, default=0)
     capw: int = struct.field(pytree_node=False, default=128)
     pmax: int = struct.field(pytree_node=False, default=8)
+    #: True when every tile's x-pages are the consecutive range
+    #: [pages[t,0], pages[t,0]+pmax): the kernel then loads one
+    #: (pmax,128) slab per tile instead of pmax scalar-indexed rows
+    pages_contig: bool = struct.field(pytree_node=False, default=False)
     m_pad: int = struct.field(pytree_node=False, default=0)
     n_pad: int = struct.field(pytree_node=False, default=0)
 

@@ -74,7 +74,7 @@ def bicgstab(spmv: SpMV, b: jax.Array, iters: int = 50) -> Tuple[jax.Array, jax.
     return x, jnp.linalg.norm(r)
 
 
-@partial(jax.jit, static_argnames=("spmv", "iters"))
+@partial(jax.jit, static_argnames=("spmv", "n", "iters", "seed", "dtype"))
 def power_iteration(
     spmv: SpMV, n: int, iters: int = 100, seed: int = 0, dtype=jnp.float32
 ) -> Tuple[jax.Array, jax.Array]:
@@ -91,7 +91,7 @@ def power_iteration(
     return lam, v
 
 
-@partial(jax.jit, static_argnames=("spmv_T", "iters"))
+@partial(jax.jit, static_argnames=("spmv_T", "n", "iters", "dtype"))
 def pagerank(
     spmv_T: SpMV, n: int, damping: float = 0.85, iters: int = 50, dtype=jnp.float32
 ) -> jax.Array:

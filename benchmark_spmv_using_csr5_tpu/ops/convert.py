@@ -52,6 +52,9 @@ from ..models.formats import CSR5Matrix, CSRMatrix
 
 #: columns per x-page = one (1, 128) f32 VMEM row (NOTES.md gather design)
 PAGE_COLS = 128
+#: max page span for the contiguous-slab gather mode (one dynamic slice
+#: of (pmax,128) per tile instead of pmax scalar-indexed row loads)
+CONTIG_PAGE_CAP = 8
 
 
 # ---------------------------------------------------------------------------
@@ -264,13 +267,31 @@ def build_csr5(
     first = np.ones((p_pad, T), dtype=bool)
     first[:, 1:] = pages_sorted[:, 1:] != pages_sorted[:, :-1]
     page_cnt = first.sum(axis=1, dtype=np.int32)
-    pmax = _pow2_at_least(int(page_cnt.max()), 2)
-    pages = np.full((p_pad, pmax), page_sentinel, dtype=np.int32)
-    # NB: cumsum on a bool array takes numpy's pathologically slow
-    # bool->int64 path (~190x slower than int32); cast first
-    pos = np.cumsum(first.astype(np.int32), axis=1, dtype=np.int32) - 1
-    tsel, esel = np.nonzero(first)
-    pages[tsel, pos[tsel, esel]] = pages_sorted[tsel, esel]
+    # page span per tile: the contiguous [lo, hi] range the pages fall in
+    span_max = int((pages_sorted[:, -1] - pages_sorted[:, 0]).max()) + 1
+    # contig needs the (pmax,128) slab to fit inside x2d's sentinel+1 rows
+    if span_max <= CONTIG_PAGE_CAP and max(span_max, 2) <= page_sentinel + 1:
+        # contiguous-pages mode: every tile's pages are the consecutive
+        # range [pages[t,0], pages[t,0]+pmax) so the kernel loads ONE
+        # (pmax,128) x slab per tile instead of pmax scalar-indexed rows;
+        # slab rows beyond the tile's span match no columns (harmless).
+        # pmax is the exact max span (no pow2 rounding: every slot costs
+        # ~15 VPU ops per tile)
+        pmax = max(span_max, 2)
+        lo = np.minimum(
+            pages_sorted[:, 0].astype(np.int32), page_sentinel + 1 - pmax
+        )
+        pages = lo[:, None] + np.arange(pmax, dtype=np.int32)[None, :]
+        pages_contig = True
+    else:
+        pmax = _pow2_at_least(int(page_cnt.max()), 2)
+        pages = np.full((p_pad, pmax), page_sentinel, dtype=np.int32)
+        # NB: cumsum on a bool array takes numpy's pathologically slow
+        # bool->int64 path (~190x slower than int32); cast first
+        pos = np.cumsum(first.astype(np.int32), axis=1, dtype=np.int32) - 1
+        tsel, esel = np.nonzero(first)
+        pages[tsel, pos[tsel, esel]] = pages_sorted[tsel, esel]
+        pages_contig = False
 
     # monotone row-end window maps (NOTES.md): window slot d of tile t maps
     # to row base[t]+d where base = row_start rounded down to 128 (so the
@@ -307,6 +328,7 @@ def build_csr5(
         col_idx_tiles=jnp.asarray(col_tiles, jdt),
         val_tiles=jnp.asarray(val_tiles),
         pages=jnp.asarray(pages, jdt),
+        pages_contig=pages_contig,
         page_cnt=jnp.asarray(page_cnt, jdt),
         win_map=jnp.asarray(win_map, jdt),
         tail_row_start=tail_row_start,

@@ -165,6 +165,7 @@ def _spmv_kernel(
     pmax: int,
     capw: int,
     R: int = 1,
+    contig: bool = False,
 ):
     # y accumulates in VMEM *scratch*, which persists across the
     # sequential grid; making y a pipelined output block instead causes
@@ -212,7 +213,26 @@ def _spmv_kernel(
 
         zeros = jnp.zeros((sigma, LANES), jnp.float32)
         xgs = tuple(zeros for _ in range(R))
-        if pmax <= MAX_UNROLL_PAGES:
+        if contig:
+            # tier 0: pages are the consecutive range [first, first+pmax):
+            # ONE (pmax,128) slab load per rhs replaces pmax scalar-indexed
+            # row loads (saves the scalar->dynamic-slice latency chains)
+            first = meta_ref[b, META_HDR]
+            slabs = [
+                x_ref[pl.ds(r * nx_rows + first, pmax), :] for r in range(R)
+            ]
+            out = []
+            for r in range(R):
+                acc = zeros
+                for k in range(pmax):
+                    xrow = slabs[r][k : k + 1, :]
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
+                    )
+                    acc = acc + jnp.where(page_of == first + k, g, 0.0)
+                out.append(acc)
+            xgs = tuple(out)
+        elif pmax <= MAX_UNROLL_PAGES:
             # tier 1: static masked unroll (fully pipelined)
             for k in range(pmax):
                 xgs = _page_step(k, xgs)
@@ -310,9 +330,11 @@ def _spmv_kernel(
         cp.wait()
 
 
-def _make_pallas_call(p, B, sigma, pmax, capw, n_pad, m_pad, interpret, R=1):
+def _make_pallas_call(
+    p, B, sigma, pmax, capw, n_pad, m_pad, interpret, R=1, contig=False
+):
     kernel = functools.partial(
-        _spmv_kernel, B=B, sigma=sigma, pmax=pmax, capw=capw, R=R
+        _spmv_kernel, B=B, sigma=sigma, pmax=pmax, capw=capw, R=R, contig=contig
     )
     mw = _meta_width(pmax)
     return pl.pallas_call(
@@ -362,7 +384,8 @@ def _csr5_spmv_pallas_jit(a5: CSR5Matrix, x, alpha, interpret: bool):
 
     B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
     call = _make_pallas_call(
-        p, B, sigma, a5.pmax, a5.capw, n_pad, m_pad, interpret
+        p, B, sigma, a5.pmax, a5.capw, n_pad, m_pad, interpret,
+        contig=a5.pages_contig,
     )
     y2d = call(meta, col2d, val2d, a5.win_map, x2d)
     return y2d.reshape(-1)[: a5.m].astype(x.dtype)
@@ -402,7 +425,8 @@ def _csr5_spmm_pallas_jit(a5: CSR5Matrix, xm, alpha, interpret: bool):
 
     B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
     call = _make_pallas_call(
-        p, B, sigma, a5.pmax, a5.capw, n_pad, m_pad, interpret, R=R
+        p, B, sigma, a5.pmax, a5.capw, n_pad, m_pad, interpret, R=R,
+        contig=a5.pages_contig,
     )
     y2d = call(meta, col2d, val2d, a5.win_map, x2d)
     ym = y2d.reshape(R, m_pad)[:, : a5.m]

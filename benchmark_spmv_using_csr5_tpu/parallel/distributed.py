@@ -67,6 +67,11 @@ def _pad_shard_statics(shards: Sequence[CSR5Matrix]) -> Sequence[CSR5Matrix]:
     pmax = max(s.pmax for s in shards)
     m_pad = max(s.m_pad for s in shards)
     n_pad = max(s.n_pad for s in shards)
+    # contiguous-page mode only survives stacking when every shard uses it
+    # with the same slab width (the kernel reads pages[t,0] + static range)
+    contig = all(s.pages_contig for s in shards) and all(
+        s.pmax == pmax for s in shards
+    )
     out = []
     for s in shards:
         dp = p - s.num_tiles
@@ -99,15 +104,18 @@ def _pad_shard_statics(shards: Sequence[CSR5Matrix]) -> Sequence[CSR5Matrix]:
                 empty_offset_ptr=jnp.pad(s.empty_offset_ptr, (0, dp), mode="edge"),
                 col_idx_tiles=padp(s.col_idx_tiles),
                 val_tiles=padp(s.val_tiles),
-                # page pads must be the (unified) sentinel n_pad//128, not
-                # zero: page id 0 is a real page and would double-gather
+                # tile-axis pads use page 0 (safe: padded tiles have all
+                # val==0, and a first-page of 0 keeps the contig slab read
+                # in bounds); slot-axis pads use the sentinel so the masked
+                # unroll cannot double-gather a real page
                 pages=jnp.pad(
-                    s.pages,
-                    ((0, dp), (0, pmax - s.pmax)),
+                    jnp.pad(s.pages, ((0, dp), (0, 0))),
+                    ((0, 0), (0, pmax - s.pmax)),
                     constant_values=n_pad // 128,
                 ),
                 page_cnt=padp(s.page_cnt),
                 win_map=win_map,
+                pages_contig=contig,
             )
         )
     return out

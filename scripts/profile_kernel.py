@@ -30,7 +30,10 @@ def _force(x):
     return float(np.asarray(jax.device_get(x.ravel()[0])))
 
 
-def device_loop_time(fn, x, iters=30):
+def device_loop_time(fn, x, iters=200, samples=3):
+    """min-of-samples long device loop: the tunnel adds +-2 ms jitter per
+    dispatch, so short loops and single samples are garbage (NOTES.md)."""
+
     @functools.partial(jax.jit, static_argnames=("k",))
     def run(x, k):
         def body(_, carry):
@@ -43,14 +46,17 @@ def device_loop_time(fn, x, iters=30):
         acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), x))
         return acc
 
-    _force(run(x, iters))
-    t0 = time.perf_counter()
-    _force(run(x, iters))
-    t_full = time.perf_counter() - t0
-    _force(run(x, 1))
-    t0 = time.perf_counter()
-    _force(run(x, 1))
-    t_one = time.perf_counter() - t0
+    def sample(k):
+        best = float("inf")
+        _force(run(x, k))  # compile/warm
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            _force(run(x, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_full = sample(iters)
+    t_one = sample(1)
     return max(t_full - t_one, 1e-9) / (iters - 1) * 1e3
 
 

@@ -1,0 +1,73 @@
+"""Distributed (multi-device) tests on the virtual 8-device CPU mesh:
+row-block partitioning, ICI-style all-gather of x, distributed solvers.
+The new capability vs the single-device reference (SURVEY.md section 5,
+BASELINE.json multi-host configs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from benchmark_spmv_using_csr5_tpu.models.solvers import conjugate_gradient
+from benchmark_spmv_using_csr5_tpu.parallel.distributed import (
+    distribute_csr,
+    distributed_spmv,
+    make_mesh,
+)
+from benchmark_spmv_using_csr5_tpu.utils import synth
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs the virtual multi-device mesh"
+)
+
+
+def _dist_err(a_sp, n_dev, sigma=-1):
+    mesh = make_mesh(n_dev)
+    da = distribute_csr(
+        a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh, sigma=sigma
+    )
+    x = synth.dense_x(a_sp.shape[1], dtype=a_sp.dtype)
+    y = np.asarray(jax.jit(lambda xx: distributed_spmv(da, xx, mesh))(jnp.asarray(x)))
+    y_ref = a_sp @ x
+    return np.abs(y - y_ref).max() / max(1e-30, np.abs(y_ref).max())
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_distributed_spmv_matches(n_dev):
+    a_sp = synth.banded(1024, 9, dtype=np.float32)
+    assert _dist_err(a_sp, n_dev) < 1e-5
+
+
+def test_distributed_uneven_rows():
+    # m not divisible by D: last shard is ragged, one shard nearly empty
+    a_sp = synth.banded(1001, 7, dtype=np.float32)
+    assert _dist_err(a_sp, 8) < 1e-5
+
+
+def test_distributed_power_law():
+    a_sp = synth.power_law(2000, 2000, 6.0, seed=3).astype(np.float32)
+    assert _dist_err(a_sp, 4) < 1e-5
+
+
+def test_distributed_empty_shard():
+    # fewer rows than devices * 1: some shards have zero nonzeros
+    a_sp = sp.csr_matrix(
+        (np.ones(3, np.float32), ([0, 1, 2], [0, 1, 2])), shape=(9, 9)
+    )
+    assert _dist_err(a_sp, 8) < 1e-6
+
+
+def test_distributed_cg():
+    m = 256
+    a_sp = synth.banded(m, 5, dtype=np.float32)
+    a_sp = sp.csr_matrix((a_sp + a_sp.T) * 0.5 + sp.eye(m) * 50.0).astype(
+        np.float32
+    )
+    mesh = make_mesh(4)
+    da = distribute_csr(a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh)
+    step = jax.jit(lambda xx: distributed_spmv(da, xx, mesh))
+    b = jnp.ones((m,), jnp.float32)
+    x, res = conjugate_gradient(step, b, iters=100)
+    np.testing.assert_allclose(a_sp @ np.asarray(x), np.ones(m), atol=1e-3)
