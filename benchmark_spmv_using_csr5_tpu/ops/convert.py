@@ -227,6 +227,11 @@ def build_csr5(
     val_flat = np.zeros(nnz_pad, dtype=values.dtype)
     col_flat[:nnz] = col_idx
     val_flat[:nnz] = values
+    if nnz:
+        # pad columns repeat the last real column (values stay zero): a
+        # zero pad column would stretch the tail tile's x-page span to
+        # [0, last], breaking the contiguous-pages gather mode
+        col_flat[nnz:] = col_idx[-1] if len(col_idx) else 0
 
     # --- partition pointer + dirty bits (format_cuda.h:21-95) ----------
     bounds = np.arange(p_pad + 1, dtype=np.int64) * T
@@ -253,8 +258,15 @@ def build_csr5(
     eo_ptr, eo = _empty_offsets(row_ptr, heads_forced, dirty, tile_ptr[:-1], nseg, p_pad, T)
 
     # --- AoS->SoA tile transpose (format_cuda.h:525-744) ----------------
-    col_tiles = col_flat.reshape(p_pad, omega, sig).swapaxes(1, 2)  # (p,sig,om)
-    val_tiles = val_flat.reshape(p_pad, omega, sig).swapaxes(1, 2)
+    # performed ON DEVICE: materialising the strided numpy view costs
+    # ~13 s per 56 MB plane (elementwise strided copy), while uploading
+    # the contiguous flat arrays and letting XLA transpose costs ~0.1 s
+    col_tiles = jnp.swapaxes(
+        jnp.asarray(col_flat, jnp.int32).reshape(p_pad, omega, sig), 1, 2
+    )  # (p, sig, om)
+    val_tiles = jnp.swapaxes(
+        jnp.asarray(val_flat).reshape(p_pad, omega, sig), 1, 2
+    )
 
     # --- TPU execution plan (NOTES.md) ----------------------------------
     # per-tile distinct x-page lists, vectorised: sort pages within each
@@ -325,8 +337,8 @@ def build_csr5(
         bit_flag=jnp.asarray(bit_flag),
         empty_offset_ptr=jnp.asarray(eo_ptr, jdt),
         empty_offset=jnp.asarray(eo, jdt),
-        col_idx_tiles=jnp.asarray(col_tiles, jdt),
-        val_tiles=jnp.asarray(val_tiles),
+        col_idx_tiles=col_tiles,
+        val_tiles=val_tiles,
         pages=jnp.asarray(pages, jdt),
         pages_contig=pages_contig,
         page_cnt=jnp.asarray(page_cnt, jdt),

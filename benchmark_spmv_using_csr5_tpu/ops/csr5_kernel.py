@@ -158,6 +158,9 @@ def _spmv_kernel(
     x_ref,  # (R*(n_pad/128 + 1), 128) f32 VMEM whole (zero sentinel rows)
     out_ref,  # (R*m_pad/128, 128) f32 HBM (ANY) output, written once at end
     y_ref,  # (R*m_pad/128, 128) f32 VMEM scratch accumulator
+    prod_ref,  # (sigma, B*128) f32 scratch: per-block products
+    pv_ref,  # (sigma, B*128) f32 scratch: batched within-lane prefixes
+    lt_ref,  # (B, 128) f32 scratch: per-tile lane totals
     out_sem,  # DMA semaphore for the final copy-out
     *,
     B: int,
@@ -191,106 +194,92 @@ def _spmv_kernel(
         < jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     ).astype(jnp.float32)
 
-    for b in range(B):  # static unroll over tiles in the block
-        col = col_ref[pl.ds(b * sigma, sigma), :]
-        val = val_ref[pl.ds(b * sigma, sigma), :]
+    for r in range(R):
+        # ---- pass 1: per-tile x gather + product into the block scratch -
+        for b in range(B):
+            col = col_ref[pl.ds(b * sigma, sigma), :]
+            val = val_ref[pl.ds(b * sigma, sigma), :]
+            lane = col & (LANES - 1)
+            page_of = col >> 7
 
-        # ---- 1. x gather over the tile's page list (all R rhs) ----------
-        lane = col & (LANES - 1)
-        page_of = col >> 7
-
-        def _page_step(k, accs):
-            pid = meta_ref[b, META_HDR + k]
-            match = page_of == pid
-            out = []
-            for r, acc in enumerate(accs):
+            def _page_step(k, acc, b=b, lane=lane, page_of=page_of):
+                pid = meta_ref[b, META_HDR + k]
                 xrow = x_ref[pl.ds(r * nx_rows + pid, 1), :]  # (1,128)
                 g = jnp.take_along_axis(
                     jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
                 )
-                out.append(acc + jnp.where(match, g, 0.0))
-            return tuple(out)
+                return acc + jnp.where(page_of == pid, g, 0.0)
 
-        zeros = jnp.zeros((sigma, LANES), jnp.float32)
-        xgs = tuple(zeros for _ in range(R))
-        if contig:
-            # tier 0: pages are the consecutive range [first, first+pmax):
-            # ONE (pmax,128) slab load per rhs replaces pmax scalar-indexed
-            # row loads (saves the scalar->dynamic-slice latency chains)
-            first = meta_ref[b, META_HDR]
-            slabs = [
-                x_ref[pl.ds(r * nx_rows + first, pmax), :] for r in range(R)
-            ]
-            out = []
-            for r in range(R):
-                acc = zeros
+            xg = jnp.zeros((sigma, LANES), jnp.float32)
+            if contig:
+                # tier 0: pages are the consecutive range
+                # [first, first+pmax): ONE (pmax,128) slab load replaces
+                # pmax scalar-indexed row loads
+                first = meta_ref[b, META_HDR]
+                slab = x_ref[pl.ds(r * nx_rows + first, pmax), :]
                 for k in range(pmax):
-                    xrow = slabs[r][k : k + 1, :]
+                    xrow = slab[k : k + 1, :]
                     g = jnp.take_along_axis(
                         jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
                     )
-                    acc = acc + jnp.where(page_of == first + k, g, 0.0)
-                out.append(acc)
-            xgs = tuple(out)
-        elif pmax <= MAX_UNROLL_PAGES:
-            # tier 1: static masked unroll (fully pipelined)
-            for k in range(pmax):
-                xgs = _page_step(k, xgs)
-        else:
-            # tier 2: fori over the live page count; FORI_PAGE_UNROLL
-            # pages per iteration with independent accumulator chains so
-            # the scalar-load -> slice -> gather latency overlaps;
-            # overshoot slots read sentinel pages and match nothing.
-            U = max(1, FORI_PAGE_UNROLL // R)  # bound live vreg pressure
-            cnt = meta_ref[b, 1]
+                    xg = xg + jnp.where(page_of == first + k, g, 0.0)
+            elif pmax <= MAX_UNROLL_PAGES:
+                # tier 1: static masked unroll (fully pipelined)
+                for k in range(pmax):
+                    xg = _page_step(k, xg)
+            else:
+                # tier 2: fori over the live page count; FORI_PAGE_UNROLL
+                # independent accumulator chains hide the scalar-load ->
+                # slice -> gather latency; overshoot slots read sentinel
+                # pages and match nothing.
+                U = FORI_PAGE_UNROLL
+                cnt = meta_ref[b, 1]
 
-            def body(j, accs_u):
-                return tuple(
-                    _page_step(j * U + u, a) for u, a in enumerate(accs_u)
+                def body(j, accs):
+                    return tuple(
+                        _page_step(j * U + u, a) for u, a in enumerate(accs)
+                    )
+
+                accs = jax.lax.fori_loop(
+                    0,
+                    (cnt + U - 1) // U,
+                    body,
+                    tuple(xg for _ in range(U)),
                 )
+                for a in accs:
+                    xg = xg + a
+            prod_ref[:, pl.ds(b * LANES, LANES)] = val * xg
 
-            accs_u = jax.lax.fori_loop(
-                0,
-                (cnt + U - 1) // U,
-                body,
-                tuple(xgs for _ in range(U)),
-            )
-            xgs = tuple(
-                sum(a[r] for a in accs_u) for r in range(R)
-            )
+        # ---- batched MXU prefix scans over the whole block ---------------
+        # one (sigma,sigma)@(sigma,B*128) matmul replaces B tiny per-tile
+        # matmuls (which cost ~0.45 ms/4576 tiles in MXU fixed overhead);
+        # HIGHEST keeps f32 accuracy (plain bf16 loses ~4e-3 relative)
+        pv_ref[:] = jax.lax.dot_general(
+            lt_s, prod_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for b in range(B):
+            lt_ref[b : b + 1, :] = pv_ref[sigma - 1 : sigma, pl.ds(b * LANES, LANES)]
+        le_all = jax.lax.dot_general(  # (B,128) exclusive cross-lane carries
+            lt_ref[:], ltx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
-        # ---- per-rhs: product, MXU prefix scans, window, accumulate -----
-        rs = meta_ref[b, 0]
-        a_off = rs & (LANES - 1)  # first valid slot in the window
-        by = rs >> 7  # window base row-block (128-row aligned)
-
-        # decode window maps once; reuse across rhs
-        wms = []
-        for g in range(G):
-            wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
-            wms.append((wm & 0xFFFF, wm >> 16))
-
-        for r in range(R):
-            prod = val * xgs[r]
-
-            # HIGHEST => f32-accurate bf16-pass decomposition; plain bf16
-            # passes lose ~4e-3 relative on long prefixes (1% headroom)
-            pv = jax.lax.dot_general(  # within-lane inclusive prefix
-                lt_s, prod, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            lane_tot = pv[sigma - 1 : sigma, :]  # (1,128)
-            lane_excl = jax.lax.dot_general(  # exclusive cross-lane carry
-                lane_tot, ltx, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            lane_excl_b = jnp.broadcast_to(lane_excl, (8, LANES))
+        # ---- pass 2: routed window extraction + sequential accumulation -
+        for b in range(B):
+            rs = meta_ref[b, 0]
+            a_off = rs & (LANES - 1)  # first valid slot in the window
+            by = rs >> 7  # window base row-block (128-row aligned)
+            pv = pv_ref[:, pl.ds(b * LANES, LANES)]
+            lane_excl_b = jnp.broadcast_to(le_all[b : b + 1, :], (8, LANES))
 
             w_groups = []
             for g in range(G):
-                ws, wl = wms[g]
+                wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
+                ws = wm & 0xFFFF
+                wl = wm >> 16
                 # R1[s, j] = pv[s, wl[j]]
                 R1 = jnp.take_along_axis(
                     pv, jnp.broadcast_to(wl, (sigma, LANES)), axis=1
@@ -350,7 +339,10 @@ def _make_pallas_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # manual copy-out
         scratch_shapes=[
-            pltpu.VMEM((R * m_pad // LANES, LANES), jnp.float32),
+            pltpu.VMEM((R * m_pad // LANES, LANES), jnp.float32),  # y acc
+            pltpu.VMEM((sigma, B * LANES), jnp.float32),  # block products
+            pltpu.VMEM((sigma, B * LANES), jnp.float32),  # block prefixes
+            pltpu.VMEM((B, LANES), jnp.float32),  # lane totals
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
