@@ -68,8 +68,9 @@ FORI_PAGE_UNROLL = 4
 
 # v1 residency limits (x + y + double-buffered blocks must fit VMEM)
 _VMEM_BUDGET = 96 * 1024 * 1024
-#: per-buffer cap for the double-buffered SMEM meta block
-_SMEM_META_BUDGET = 64 * 1024
+#: per-buffer cap for the double-buffered SMEM meta block (the core has
+#: ~512 KB of usable SMEM, probed; leave headroom for the pipeline)
+_SMEM_META_BUDGET = 160 * 1024
 
 
 def _meta_width(pmax: int) -> int:
@@ -196,59 +197,66 @@ def _spmv_kernel(
 
     for r in range(R):
         # ---- pass 1: per-tile x gather + product into the block scratch -
-        for b in range(B):
-            col = col_ref[pl.ds(b * sigma, sigma), :]
-            val = val_ref[pl.ds(b * sigma, sigma), :]
-            lane = col & (LANES - 1)
-            page_of = col >> 7
+        if contig or pmax <= MAX_UNROLL_PAGES:
+            for b in range(B):
+                col = col_ref[pl.ds(b * sigma, sigma), :]
+                val = val_ref[pl.ds(b * sigma, sigma), :]
+                lane = col & (LANES - 1)
+                page_of = col >> 7
 
-            def _page_step(k, acc, b=b, lane=lane, page_of=page_of):
-                pid = meta_ref[b, META_HDR + k]
-                xrow = x_ref[pl.ds(r * nx_rows + pid, 1), :]  # (1,128)
-                g = jnp.take_along_axis(
-                    jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
-                )
-                return acc + jnp.where(page_of == pid, g, 0.0)
+                xg = jnp.zeros((sigma, LANES), jnp.float32)
+                if contig:
+                    # tier 0: pages are the consecutive range
+                    # [first, first+pmax): ONE (pmax,128) slab load
+                    # replaces pmax scalar-indexed row loads
+                    first = meta_ref[b, META_HDR]
+                    slab = x_ref[pl.ds(r * nx_rows + first, pmax), :]
+                    for k in range(pmax):
+                        xrow = slab[k : k + 1, :]
+                        g = jnp.take_along_axis(
+                            jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
+                        )
+                        xg = xg + jnp.where(page_of == first + k, g, 0.0)
+                else:
+                    # tier 1: static masked unroll (fully pipelined)
+                    for k in range(pmax):
+                        pid = meta_ref[b, META_HDR + k]
+                        xrow = x_ref[pl.ds(r * nx_rows + pid, 1), :]
+                        g = jnp.take_along_axis(
+                            jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
+                        )
+                        xg = xg + jnp.where(page_of == pid, g, 0.0)
+                prod_ref[:, pl.ds(b * LANES, LANES)] = val * xg
+        else:
+            # tier 2 (scattered): ONE block-level fori over the max live
+            # page count; each iteration advances all B tiles' gathers (B
+            # independent latency chains), accumulating into the prod
+            # scratch. Tiles whose page list is shorter read sentinel
+            # slots that match nothing, so no per-tile guard is needed.
+            prod_ref[:] = jnp.zeros_like(prod_ref)
+            cnt_max = meta_ref[0, 1]
+            for b in range(1, B):
+                cnt_max = jnp.maximum(cnt_max, meta_ref[b, 1])
 
-            xg = jnp.zeros((sigma, LANES), jnp.float32)
-            if contig:
-                # tier 0: pages are the consecutive range
-                # [first, first+pmax): ONE (pmax,128) slab load replaces
-                # pmax scalar-indexed row loads
-                first = meta_ref[b, META_HDR]
-                slab = x_ref[pl.ds(r * nx_rows + first, pmax), :]
-                for k in range(pmax):
-                    xrow = slab[k : k + 1, :]
+            def body(k, carry):
+                for b in range(B):
+                    col = col_ref[pl.ds(b * sigma, sigma), :]
+                    lane = col & (LANES - 1)
+                    page_of = col >> 7
+                    pid = meta_ref[b, META_HDR + k]
+                    xrow = x_ref[pl.ds(r * nx_rows + pid, 1), :]
                     g = jnp.take_along_axis(
                         jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
                     )
-                    xg = xg + jnp.where(page_of == first + k, g, 0.0)
-            elif pmax <= MAX_UNROLL_PAGES:
-                # tier 1: static masked unroll (fully pipelined)
-                for k in range(pmax):
-                    xg = _page_step(k, xg)
-            else:
-                # tier 2: fori over the live page count; FORI_PAGE_UNROLL
-                # independent accumulator chains hide the scalar-load ->
-                # slice -> gather latency; overshoot slots read sentinel
-                # pages and match nothing.
-                U = FORI_PAGE_UNROLL
-                cnt = meta_ref[b, 1]
+                    sl = pl.ds(b * LANES, LANES)
+                    prod_ref[:, sl] += jnp.where(page_of == pid, g, 0.0)
+                return carry
 
-                def body(j, accs):
-                    return tuple(
-                        _page_step(j * U + u, a) for u, a in enumerate(accs)
-                    )
-
-                accs = jax.lax.fori_loop(
-                    0,
-                    (cnt + U - 1) // U,
-                    body,
-                    tuple(xg for _ in range(U)),
-                )
-                for a in accs:
-                    xg = xg + a
-            prod_ref[:, pl.ds(b * LANES, LANES)] = val * xg
+            jax.lax.fori_loop(0, cnt_max, body, 0)
+            for b in range(B):
+                val = val_ref[pl.ds(b * sigma, sigma), :]
+                sl = pl.ds(b * LANES, LANES)
+                prod_ref[:, sl] = prod_ref[:, sl] * val
 
         # ---- batched MXU prefix scans over the whole block ---------------
         # one (sigma,sigma)@(sigma,B*128) matmul replaces B tiny per-tile
