@@ -46,6 +46,7 @@ class BenchResult:
     dtype: str
     backend: str
     convert_ms: float
+    convert_phases: dict
     spmv_ms: float
     gbps: float
     gflops: float
@@ -57,9 +58,10 @@ class BenchResult:
     def report(self) -> str:
         """The reference's output lines (main.cu:104-106, :361-384)."""
         ok = "PASS!" if self.check_ok else "NOT PASS!"
+        ph = " ".join(f"{k}={v:.1f}" for k, v in self.convert_phases.items())
         return (
             f"[{self.name}] ({self.m}, {self.n}) nnz = {self.nnz}, sigma = {self.sigma}\n"
-            f"CSR->CSR5 time = {self.convert_ms:.3f} ms\n"
+            f"CSR->CSR5 time = {self.convert_ms:.3f} ms ({ph})\n"
             f"CSR5-based SpMV time = {self.spmv_ms:.4f} ms, "
             f"{self.gbps:.2f} GB/s, {self.gflops:.2f} GFlops, "
             f"{self.pct_of_roofline:.1f}% of HBM roofline [{self.backend}]\n"
@@ -147,6 +149,9 @@ def run_benchmark(
         CSR5Config(sigma=compute_sigma(m, csr.nnz, sigma)),
     )
     convert_ms = (time.perf_counter() - t0) * 1e3
+    from ..ops.convert import last_convert_phases
+
+    convert_phases = dict(last_convert_phases)
 
     if num_rhs > 1:
         from ..ops.csr5_kernel import csr5_spmm_pallas, pallas_spmm_supported
@@ -206,6 +211,7 @@ def run_benchmark(
         dtype=str(dtype),
         backend=backend,
         convert_ms=convert_ms,
+        convert_phases=convert_phases,
         spmv_ms=spmv_ms,
         gbps=met.gbps,
         gflops=met.gflops,

@@ -93,6 +93,12 @@ def tile_dirty_flags(row_ptr: jax.Array, tile_ptr: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+#: phase timings (ms) of the most recent build_csr5 call -- the
+#: malloc/tile_ptr/tile_desc/transpose breakdown the reference prints
+#: (anonymouslib_cuda.h:211-214)
+last_convert_phases: dict = {}
+
+
 def _pow2_at_least(x: int, lo: int) -> int:
     v = lo
     while v < x:
@@ -216,6 +222,14 @@ def build_csr5(
         )
     omega, sig = config.omega, config.sigma
     T = config.tile_nnz
+    _ph = {}
+    _t0 = time.perf_counter()
+
+    def _mark(name):
+        nonlocal _t0
+        now = time.perf_counter()
+        _ph[name] = _ph.get(name, 0.0) + (now - _t0) * 1e3
+        _t0 = now
 
     p = max(1, -(-nnz // T))  # every tile padded; tail is the last tile
     # pad tile count to a multiple of tiles_per_block for the kernel grid
@@ -233,6 +247,7 @@ def build_csr5(
         # [0, last], breaking the contiguous-pages gather mode
         col_flat[nnz:] = col_idx[-1] if len(col_idx) else 0
 
+    _mark("malloc")
     # --- partition pointer + dirty bits (format_cuda.h:21-95) ----------
     bounds = np.arange(p_pad + 1, dtype=np.int64) * T
     tile_ptr = np.clip(np.searchsorted(row_ptr, bounds, side="right") - 1, 0, m)
@@ -243,6 +258,7 @@ def build_csr5(
     dirty = (e_prefix[stop + 1] - e_prefix[np.minimum(start + 1, m)]) > 0
     tail_row_start = int(tile_ptr[p - 1])
 
+    _mark("tile_ptr")
     # --- bit flags (format_cuda.h:129-159) ------------------------------
     heads = np.zeros(nnz_pad, dtype=bool)
     nonempty = np.diff(row_ptr) > 0
@@ -257,6 +273,7 @@ def build_csr5(
     # --- empty-row indirection (format_cuda.h:269-523) ------------------
     eo_ptr, eo = _empty_offsets(row_ptr, heads_forced, dirty, tile_ptr[:-1], nseg, p_pad, T)
 
+    _mark("tile_desc")
     # --- AoS->SoA tile transpose (format_cuda.h:525-744) ----------------
     # performed ON DEVICE: materialising the strided numpy view costs
     # ~13 s per 56 MB plane (elementwise strided copy), while uploading
@@ -268,6 +285,7 @@ def build_csr5(
         jnp.asarray(val_flat).reshape(p_pad, omega, sig), 1, 2
     )
 
+    _mark("transpose")
     # --- TPU execution plan (NOTES.md) ----------------------------------
     # per-tile distinct x-page lists, vectorised: sort pages within each
     # tile, mark firsts, compact by prefix position. Dead slots hold the
@@ -323,6 +341,9 @@ def build_csr5(
         (win_end // sig).astype(np.int32) << 16
     )
 
+    _mark("tpu_plan")
+    last_convert_phases.clear()
+    last_convert_phases.update(_ph)
     jdt = jnp.int32
     return CSR5Matrix(
         shape=(m, n),
@@ -375,4 +396,6 @@ def convert_timings(csr: CSRMatrix, config: Optional[CSR5Config] = None) -> dict
     a5 = build_csr5(csr, config)
     jax.block_until_ready(a5.val_tiles)
     total = (time.perf_counter() - t0) * 1e3
-    return {"total_ms": total, "csr5": a5}
+    out = {"total_ms": total, "csr5": a5}
+    out.update({f"{k}_ms": round(v, 3) for k, v in last_convert_phases.items()})
+    return out
