@@ -21,13 +21,25 @@ def main():
     from benchmark_spmv_using_csr5_tpu.utils import synth
 
     suite = {
-        "banded500k": synth.banded(500_000, 27, dtype=np.float32),
-        "powerlaw200k": synth.power_law(200_000, 200_000, 8.0, dtype=np.float32),
+        "banded500k": (synth.banded(500_000, 27, dtype=np.float32), 1),
+        # moderate locality: random columns within a 6k band exercises the
+        # tier-1 masked page unroll (page span > contig cap, < 64)
+        "scatband300k": (
+            synth.scattered_band(300_000, 16, 6000, dtype=np.float32), 1),
+        "powerlaw200k": (
+            synth.power_law(200_000, 200_000, 8.0, dtype=np.float32), 1),
+        "spmm8_banded500k": (synth.banded(500_000, 27, dtype=np.float32), 8),
     }
     results = {}
-    for name, a in suite.items():
+    for name, (a, rhs) in suite.items():
         res = run_benchmark(
-            name, a.indptr, a.indices, a.data, a.shape, num_run=200
+            name,
+            a.indptr,
+            a.indices,
+            a.data,
+            a.shape,
+            num_run=200 if rhs == 1 else 50,
+            num_rhs=rhs,
         )
         results[name] = res
         print(res.report(), file=sys.stderr)

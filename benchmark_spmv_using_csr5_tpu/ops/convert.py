@@ -274,18 +274,6 @@ def build_csr5(
     eo_ptr, eo = _empty_offsets(row_ptr, heads_forced, dirty, tile_ptr[:-1], nseg, p_pad, T)
 
     _mark("tile_desc")
-    # --- AoS->SoA tile transpose (format_cuda.h:525-744) ----------------
-    # performed ON DEVICE: materialising the strided numpy view costs
-    # ~13 s per 56 MB plane (elementwise strided copy), while uploading
-    # the contiguous flat arrays and letting XLA transpose costs ~0.1 s
-    col_tiles = jnp.swapaxes(
-        jnp.asarray(col_flat, jnp.int32).reshape(p_pad, omega, sig), 1, 2
-    )  # (p, sig, om)
-    val_tiles = jnp.swapaxes(
-        jnp.asarray(val_flat).reshape(p_pad, omega, sig), 1, 2
-    )
-
-    _mark("transpose")
     # --- TPU execution plan (NOTES.md) ----------------------------------
     # per-tile distinct x-page lists, vectorised: sort pages within each
     # tile, mark firsts, compact by prefix position. Dead slots hold the
@@ -293,12 +281,28 @@ def build_csr5(
     # wrapper) so the kernel's static masked unroll is count-free.
     n_pad = -(-max(n, 1) // PAGE_COLS) * PAGE_COLS
     page_sentinel = n_pad // PAGE_COLS
-    pages_sorted = np.sort((col_flat >> 7).reshape(p_pad, T), axis=1)
-    first = np.ones((p_pad, T), dtype=bool)
-    first[:, 1:] = pages_sorted[:, 1:] != pages_sorted[:, :-1]
-    page_cnt = first.sum(axis=1, dtype=np.int32)
-    # page span per tile: the contiguous [lo, hi] range the pages fall in
-    span_max = int((pages_sorted[:, -1] - pages_sorted[:, 0]).max()) + 1
+
+    from ..utils import nativelib
+
+    plan = nativelib.page_plan(col_flat, p_pad, T, page_sentinel + 1)
+    if plan is not None:
+        # native single-pass page stats (bitmap per tile; avoids the
+        # 56 MB numpy temporaries whose allocation churn costs seconds
+        # on this 1-vCPU VM)
+        page_lo, page_cnt, span_max, cnt_max, make_lists = plan
+        pages_sorted = None
+    else:
+        # numpy fallback: in-place ndarray.sort (np.sort's extra temp +
+        # copy triggers multi-second page-fault storms here)
+        pages_sorted = (col_flat >> 7).reshape(p_pad, T)
+        pages_sorted.sort(axis=1)
+        first = np.ones((p_pad, T), dtype=bool)
+        first[:, 1:] = pages_sorted[:, 1:] != pages_sorted[:, :-1]
+        page_cnt = first.sum(axis=1, dtype=np.int32)
+        page_lo = pages_sorted[:, 0].astype(np.int32)
+        span_max = int((pages_sorted[:, -1] - pages_sorted[:, 0]).max()) + 1
+        cnt_max = int(page_cnt.max())
+
     # contig needs the (pmax,128) slab to fit inside x2d's sentinel+1 rows
     if span_max <= CONTIG_PAGE_CAP and max(span_max, 2) <= page_sentinel + 1:
         # contiguous-pages mode: every tile's pages are the consecutive
@@ -308,20 +312,21 @@ def build_csr5(
         # pmax is the exact max span (no pow2 rounding: every slot costs
         # ~15 VPU ops per tile)
         pmax = max(span_max, 2)
-        lo = np.minimum(
-            pages_sorted[:, 0].astype(np.int32), page_sentinel + 1 - pmax
-        )
+        lo = np.minimum(page_lo, page_sentinel + 1 - pmax)
         pages = lo[:, None] + np.arange(pmax, dtype=np.int32)[None, :]
         pages_contig = True
     else:
-        pmax = _pow2_at_least(int(page_cnt.max()), 2)
-        pages = np.full((p_pad, pmax), page_sentinel, dtype=np.int32)
-        # NB: cumsum on a bool array takes numpy's pathologically slow
-        # bool->int64 path (~190x slower than int32); cast first
-        pos = np.cumsum(first.astype(np.int32), axis=1, dtype=np.int32) - 1
-        tsel, esel = np.nonzero(first)
-        pages[tsel, pos[tsel, esel]] = pages_sorted[tsel, esel]
+        pmax = _pow2_at_least(cnt_max, 2)
         pages_contig = False
+        if plan is not None:
+            pages = make_lists(pmax, page_sentinel)
+        else:
+            pages = np.full((p_pad, pmax), page_sentinel, dtype=np.int32)
+            # NB: cumsum on a bool array takes numpy's pathologically slow
+            # bool->int64 path (~190x slower than int32); cast first
+            pos = np.cumsum(first.astype(np.int32), axis=1, dtype=np.int32) - 1
+            tsel, esel = np.nonzero(first)
+            pages[tsel, pos[tsel, esel]] = pages_sorted[tsel, esel]
 
     # monotone row-end window maps (NOTES.md): window slot d of tile t maps
     # to row base[t]+d where base = row_start rounded down to 128 (so the
@@ -342,6 +347,17 @@ def build_csr5(
     )
 
     _mark("tpu_plan")
+    # --- AoS->SoA tile transpose (format_cuda.h:525-744) ----------------
+    # performed ON DEVICE and LAST: materialising the strided numpy view
+    # costs ~13 s per 56 MB plane, and issuing the async device upload
+    # earlier starves the (single-core) host numpy work behind it
+    col_tiles = jnp.swapaxes(
+        jnp.asarray(col_flat, jnp.int32).reshape(p_pad, omega, sig), 1, 2
+    )  # (p, sig, om)
+    val_tiles = jnp.swapaxes(
+        jnp.asarray(val_flat).reshape(p_pad, omega, sig), 1, 2
+    )
+    _mark("transpose")
     last_convert_phases.clear()
     last_convert_phases.update(_ph)
     jdt = jnp.int32

@@ -83,6 +83,8 @@ def _try_load() -> Optional[ctypes.CDLL]:
         lib.csr_spmv_f64.restype = None
         lib.csr_spmv_f32.restype = None
         lib.csr5_tile_ptr.restype = None
+        lib.csr5_page_stats.restype = None
+        lib.csr5_page_lists.restype = None
         _lib = lib
         return _lib
 
@@ -177,6 +179,48 @@ def csr_spmv_serial(
         y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return y.astype(values.dtype, copy=False)
+
+
+def page_plan(col_flat: np.ndarray, p: int, tile_nnz: int, n_pages: int):
+    """Per-tile x-page stats (+ lists builder closure) for the conversion.
+
+    Returns (page_lo, page_cnt, span_max, cnt_max, make_lists) or None
+    when the native library is unavailable. ``make_lists(pmax, sentinel)``
+    fills the (p, pmax) sorted distinct-page lists.
+    """
+    lib = _try_load()
+    if lib is None:
+        return None
+    col_flat = np.ascontiguousarray(col_flat, np.int32)
+    page_lo = np.empty(p, np.int32)
+    page_cnt = np.empty(p, np.int32)
+    span_max = ctypes.c_int32()
+    cnt_max = ctypes.c_int32()
+    lib.csr5_page_stats(
+        ctypes.c_int64(p),
+        ctypes.c_int64(tile_nnz),
+        col_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n_pages),
+        page_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        page_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(span_max),
+        ctypes.byref(cnt_max),
+    )
+
+    def make_lists(pmax: int, sentinel: int) -> np.ndarray:
+        pages = np.empty((p, pmax), np.int32)
+        lib.csr5_page_lists(
+            ctypes.c_int64(p),
+            ctypes.c_int64(tile_nnz),
+            col_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(n_pages),
+            ctypes.c_int64(pmax),
+            ctypes.c_int32(sentinel),
+            pages.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return pages
+
+    return page_lo, page_cnt, int(span_max.value), int(cnt_max.value), make_lists
 
 
 def tile_partition_pointer(

@@ -68,6 +68,27 @@ def power_law(
     return a.astype(dtype)
 
 
+def scattered_band(
+    m: int,
+    nnz_per_row: int = 16,
+    bandwidth: int = 6000,
+    dtype=np.float64,
+    seed: int = 0,
+) -> sp.csr_matrix:
+    """Random columns inside a diagonal band: moderate page locality (the
+    tier-1 masked-unroll gather regime -- pages span > CONTIG_PAGE_CAP but
+    stay under MAX_UNROLL_PAGES)."""
+    rng = np.random.default_rng(seed)
+    rows_i = np.arange(m, dtype=np.int64)[:, None]
+    lo = np.clip(rows_i - bandwidth // 2, 0, max(m - bandwidth, 0))
+    off = rng.integers(0, bandwidth, size=(m, nnz_per_row))
+    cols = np.minimum(lo + off, m - 1).astype(np.int32)
+    cols.sort(axis=1)
+    vals = rng.integers(1, 10, size=(m, nnz_per_row)).astype(dtype)
+    row_ptr = np.arange(m + 1, dtype=np.int64) * nnz_per_row
+    return sp.csr_matrix((vals.ravel(), cols.ravel(), row_ptr), shape=(m, m))
+
+
 def single_dense_row(m: int, n: int, row: int = 0, row_nnz: int = 4096, dtype=np.float64, seed: int = 0) -> sp.csr_matrix:
     """One long row among near-empty rows: many consecutive fast-track tiles
     sharing a single output row (calibrator chain stress,

@@ -20,6 +20,7 @@
 // No external dependencies; C++17; built by native/Makefile into
 // libcsr5native.so.
 
+#include <algorithm>
 #include <cctype>
 #include <cerrno>
 #include <cmath>
@@ -266,6 +267,75 @@ void csr5_tile_ptr(int64_t m, int64_t p, int64_t tile_nnz,
       else hi = mid - 1;
     }
     tile_ptr[t] = static_cast<int32_t>(lo);  // == clip(searchsorted-1, 0, m)
+  }
+}
+
+// ---- TPU execution-plan fast paths --------------------------------------
+//
+// Per-tile distinct x-page statistics and page lists for the Pallas
+// kernel's gather (see ops/convert.py "TPU execution plan"). One linear
+// pass with a page bitmap per tile; avoids the 56 MB numpy temporaries
+// whose allocation churn costs seconds on small VMs.
+
+// Phase 1: per-tile page_lo, page_cnt (distinct col>>7 pages) and the
+// global maxima. col_flat has p*tile_nnz entries (tail padded).
+void csr5_page_stats(int64_t p, int64_t tile_nnz, const int32_t* col_flat,
+                     int64_t n_pages, int32_t* page_lo, int32_t* page_cnt,
+                     int32_t* out_span_max, int32_t* out_cnt_max) {
+  std::vector<uint8_t> seen(static_cast<size_t>(n_pages), 0);
+  std::vector<int32_t> touched;
+  touched.reserve(4096);
+  int32_t span_max = 0, cnt_max = 0;
+  for (int64_t t = 0; t < p; ++t) {
+    const int32_t* c = col_flat + t * tile_nnz;
+    int32_t lo = INT32_MAX, hi = -1, cnt = 0;
+    for (int64_t k = 0; k < tile_nnz; ++k) {
+      int32_t pg = c[k] >> 7;
+      if (pg < lo) lo = pg;
+      if (pg > hi) hi = pg;
+      if (!seen[pg]) {
+        seen[pg] = 1;
+        touched.push_back(pg);
+        ++cnt;
+      }
+    }
+    for (int32_t pg : touched) seen[pg] = 0;
+    touched.clear();
+    page_lo[t] = lo;
+    page_cnt[t] = cnt;
+    int32_t span = hi - lo + 1;
+    if (span > span_max) span_max = span;
+    if (cnt > cnt_max) cnt_max = cnt;
+  }
+  *out_span_max = span_max;
+  *out_cnt_max = cnt_max;
+}
+
+// Phase 2 (non-contiguous mode): fill the (p, pmax) page lists, sorted
+// ascending, dead slots = sentinel.
+void csr5_page_lists(int64_t p, int64_t tile_nnz, const int32_t* col_flat,
+                     int64_t n_pages, int64_t pmax, int32_t sentinel,
+                     int32_t* pages) {
+  std::vector<uint8_t> seen(static_cast<size_t>(n_pages), 0);
+  std::vector<int32_t> touched;
+  touched.reserve(static_cast<size_t>(pmax));
+  for (int64_t t = 0; t < p; ++t) {
+    const int32_t* c = col_flat + t * tile_nnz;
+    for (int64_t k = 0; k < tile_nnz; ++k) {
+      int32_t pg = c[k] >> 7;
+      if (!seen[pg]) {
+        seen[pg] = 1;
+        touched.push_back(pg);
+      }
+    }
+    std::sort(touched.begin(), touched.end());
+    int32_t* row = pages + t * pmax;
+    size_t i = 0;
+    for (; i < touched.size() && i < static_cast<size_t>(pmax); ++i)
+      row[i] = touched[i];
+    for (; i < static_cast<size_t>(pmax); ++i) row[i] = sentinel;
+    for (int32_t pg : touched) seen[pg] = 0;
+    touched.clear();
   }
 }
 
