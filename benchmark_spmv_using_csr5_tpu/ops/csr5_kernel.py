@@ -195,99 +195,150 @@ def _spmv_kernel(
         < jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     ).astype(jnp.float32)
 
-    for r in range(R):
-        # ---- pass 1: per-tile x gather + product into the block scratch -
-        if contig or pmax <= MAX_UNROLL_PAGES:
-            for b in range(B):
-                col = col_ref[pl.ds(b * sigma, sigma), :]
-                val = val_ref[pl.ds(b * sigma, sigma), :]
-                lane = col & (LANES - 1)
-                page_of = col >> 7
+    # scratch column slice of tile b, rhs r
+    def _sl(b, r):
+        return pl.ds((b * R + r) * LANES, LANES)
 
-                xg = jnp.zeros((sigma, LANES), jnp.float32)
-                if contig:
-                    # tier 0: pages are the consecutive range
-                    # [first, first+pmax): ONE (pmax,128) slab load
-                    # replaces pmax scalar-indexed row loads
-                    first = meta_ref[b, META_HDR]
-                    slab = x_ref[pl.ds(r * nx_rows + first, pmax), :]
-                    for k in range(pmax):
-                        xrow = slab[k : k + 1, :]
+    # ---- pass 1: per-tile x gather + product into the block scratch -----
+    if (contig or pmax <= MAX_UNROLL_PAGES) and R == 1:
+        # single-rhs fast path: accumulate in registers (no scratch RMW)
+        for b in range(B):
+            col = col_ref[pl.ds(b * sigma, sigma), :]
+            val = val_ref[pl.ds(b * sigma, sigma), :]
+            lane = col & (LANES - 1)
+            page_of = col >> 7
+
+            xg = jnp.zeros((sigma, LANES), jnp.float32)
+            if contig:
+                # tier 0: pages are the consecutive range
+                # [first, first+pmax): ONE (pmax,128) slab load replaces
+                # pmax scalar-indexed row loads
+                first = meta_ref[b, META_HDR]
+                slab = x_ref[pl.ds(first, pmax), :]
+                for k in range(pmax):
+                    xrow = slab[k : k + 1, :]
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
+                    )
+                    xg = xg + jnp.where(page_of == first + k, g, 0.0)
+            else:
+                # tier 1: static masked unroll (fully pipelined)
+                for k in range(pmax):
+                    pid = meta_ref[b, META_HDR + k]
+                    xrow = x_ref[pl.ds(pid, 1), :]
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
+                    )
+                    xg = xg + jnp.where(page_of == pid, g, 0.0)
+            prod_ref[:, _sl(b, 0)] = val * xg
+    elif contig or pmax <= MAX_UNROLL_PAGES:
+        # multi-rhs: the column decode and page-match masks are shared
+        # across rhs; per-rhs gathers accumulate into the prod scratch
+        prod_ref[:] = jnp.zeros_like(prod_ref)
+        for b in range(B):
+            col = col_ref[pl.ds(b * sigma, sigma), :]
+            lane = col & (LANES - 1)
+            page_of = col >> 7
+            if contig:
+                first = meta_ref[b, META_HDR]
+                slabs = [
+                    x_ref[pl.ds(r * nx_rows + first, pmax), :] for r in range(R)
+                ]
+                for k in range(pmax):
+                    mask = page_of == first + k
+                    for r in range(R):
                         g = jnp.take_along_axis(
-                            jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
+                            jnp.broadcast_to(slabs[r][k : k + 1, :], (sigma, LANES)),
+                            lane,
+                            axis=1,
                         )
-                        xg = xg + jnp.where(page_of == first + k, g, 0.0)
-                else:
-                    # tier 1: static masked unroll (fully pipelined)
-                    for k in range(pmax):
-                        pid = meta_ref[b, META_HDR + k]
+                        prod_ref[:, _sl(b, r)] += jnp.where(mask, g, 0.0)
+            else:
+                for k in range(pmax):
+                    pid = meta_ref[b, META_HDR + k]
+                    mask = page_of == pid
+                    for r in range(R):
                         xrow = x_ref[pl.ds(r * nx_rows + pid, 1), :]
                         g = jnp.take_along_axis(
                             jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
                         )
-                        xg = xg + jnp.where(page_of == pid, g, 0.0)
-                prod_ref[:, pl.ds(b * LANES, LANES)] = val * xg
-        else:
-            # tier 2 (scattered): ONE block-level fori over the max live
-            # page count; each iteration advances all B tiles' gathers (B
-            # independent latency chains), accumulating into the prod
-            # scratch. Tiles whose page list is shorter read sentinel
-            # slots that match nothing, so no per-tile guard is needed.
-            prod_ref[:] = jnp.zeros_like(prod_ref)
-            cnt_max = meta_ref[0, 1]
-            for b in range(1, B):
-                cnt_max = jnp.maximum(cnt_max, meta_ref[b, 1])
+                        prod_ref[:, _sl(b, r)] += jnp.where(mask, g, 0.0)
+        for b in range(B):
+            val = val_ref[pl.ds(b * sigma, sigma), :]
+            for r in range(R):
+                prod_ref[:, _sl(b, r)] = prod_ref[:, _sl(b, r)] * val
+    else:
+        # tier 2 (scattered): ONE block-level fori over the max live page
+        # count; each iteration advances all B tiles' (x R rhs) gathers —
+        # independent latency chains — accumulating into the prod scratch.
+        # Shorter page lists read sentinel slots that match nothing.
+        prod_ref[:] = jnp.zeros_like(prod_ref)
+        cnt_max = meta_ref[0, 1]
+        for b in range(1, B):
+            cnt_max = jnp.maximum(cnt_max, meta_ref[b, 1])
 
-            def body(k, carry):
-                for b in range(B):
-                    col = col_ref[pl.ds(b * sigma, sigma), :]
-                    lane = col & (LANES - 1)
-                    page_of = col >> 7
-                    pid = meta_ref[b, META_HDR + k]
+        def body(k, carry):
+            for b in range(B):
+                col = col_ref[pl.ds(b * sigma, sigma), :]
+                lane = col & (LANES - 1)
+                page_of = col >> 7
+                pid = meta_ref[b, META_HDR + k]
+                mask = page_of == pid
+                for r in range(R):
                     xrow = x_ref[pl.ds(r * nx_rows + pid, 1), :]
                     g = jnp.take_along_axis(
                         jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
                     )
-                    sl = pl.ds(b * LANES, LANES)
-                    prod_ref[:, sl] += jnp.where(page_of == pid, g, 0.0)
-                return carry
+                    prod_ref[:, _sl(b, r)] += jnp.where(mask, g, 0.0)
+            return carry
 
-            jax.lax.fori_loop(0, cnt_max, body, 0)
-            for b in range(B):
-                val = val_ref[pl.ds(b * sigma, sigma), :]
-                sl = pl.ds(b * LANES, LANES)
-                prod_ref[:, sl] = prod_ref[:, sl] * val
-
-        # ---- batched MXU prefix scans over the whole block ---------------
-        # one (sigma,sigma)@(sigma,B*128) matmul replaces B tiny per-tile
-        # matmuls (which cost ~0.45 ms/4576 tiles in MXU fixed overhead);
-        # HIGHEST keeps f32 accuracy (plain bf16 loses ~4e-3 relative)
-        pv_ref[:] = jax.lax.dot_general(
-            lt_s, prod_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        jax.lax.fori_loop(0, cnt_max, body, 0)
         for b in range(B):
-            lt_ref[b : b + 1, :] = pv_ref[sigma - 1 : sigma, pl.ds(b * LANES, LANES)]
-        le_all = jax.lax.dot_general(  # (B,128) exclusive cross-lane carries
-            lt_ref[:], ltx, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+            val = val_ref[pl.ds(b * sigma, sigma), :]
+            for r in range(R):
+                prod_ref[:, _sl(b, r)] = prod_ref[:, _sl(b, r)] * val
 
-        # ---- pass 2: routed window extraction + sequential accumulation -
-        for b in range(B):
-            rs = meta_ref[b, 0]
-            a_off = rs & (LANES - 1)  # first valid slot in the window
-            by = rs >> 7  # window base row-block (128-row aligned)
-            pv = pv_ref[:, pl.ds(b * LANES, LANES)]
-            lane_excl_b = jnp.broadcast_to(le_all[b : b + 1, :], (8, LANES))
+    # ---- batched MXU prefix scans over the whole block -------------------
+    # one (sigma,sigma)@(sigma,R*B*128) matmul replaces R*B tiny per-tile
+    # matmuls (which cost ~0.45 ms/4576 tiles in MXU fixed overhead);
+    # HIGHEST keeps f32 accuracy (plain bf16 loses ~4e-3 relative)
+    pv_ref[:] = jax.lax.dot_general(
+        lt_s, prod_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    for b in range(B):
+        for r in range(R):
+            lt_ref[b * R + r : b * R + r + 1, :] = pv_ref[
+                sigma - 1 : sigma, _sl(b, r)
+            ]
+    le_all = jax.lax.dot_general(  # (R*B,128) exclusive cross-lane carries
+        lt_ref[:], ltx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    # ---- pass 2: routed window extraction + sequential accumulation ------
+    for b in range(B):
+        rs = meta_ref[b, 0]
+        a_off = rs & (LANES - 1)  # first valid slot in the window
+        by = rs >> 7  # window base row-block (128-row aligned)
+
+        # decode window maps once per tile; reuse across rhs
+        wms = []
+        for g in range(G):
+            wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
+            wms.append((wm & 0xFFFF, wm >> 16))
+
+        for r in range(R):
+            pv = pv_ref[:, _sl(b, r)]
+            lane_excl_b = jnp.broadcast_to(
+                le_all[b * R + r : b * R + r + 1, :], (8, LANES)
+            )
 
             w_groups = []
             for g in range(G):
-                wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
-                ws = wm & 0xFFFF
-                wl = wm >> 16
+                ws, wl = wms[g]
                 # R1[s, j] = pv[s, wl[j]]
                 R1 = jnp.take_along_axis(
                     pv, jnp.broadcast_to(wl, (sigma, LANES)), axis=1
@@ -348,9 +399,9 @@ def _make_pallas_call(
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # manual copy-out
         scratch_shapes=[
             pltpu.VMEM((R * m_pad // LANES, LANES), jnp.float32),  # y acc
-            pltpu.VMEM((sigma, B * LANES), jnp.float32),  # block products
-            pltpu.VMEM((sigma, B * LANES), jnp.float32),  # block prefixes
-            pltpu.VMEM((B, LANES), jnp.float32),  # lane totals
+            pltpu.VMEM((sigma, R * B * LANES), jnp.float32),  # block products
+            pltpu.VMEM((sigma, R * B * LANES), jnp.float32),  # block prefixes
+            pltpu.VMEM((R * B, LANES), jnp.float32),  # lane totals
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
