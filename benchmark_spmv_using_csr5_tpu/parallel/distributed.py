@@ -202,10 +202,12 @@ def distributed_spmv(
         # squeeze the leading device axis shard_map leaves on each leaf
         a5 = jax.tree.map(lambda a: a[0], local_a5)
         x_full = jax.lax.all_gather(x_shard, axis, tiled=True)[: da.n]
-        if backend == "pallas":
+        if backend in ("pallas", "pallas_interpret"):
             from ..ops.csr5_kernel import csr5_spmv_pallas
 
-            y_loc = csr5_spmv_pallas(a5, x_full, alpha)
+            y_loc = csr5_spmv_pallas(
+                a5, x_full, alpha, interpret=backend == "pallas_interpret"
+            )
         else:
             y_loc = csr5_spmv_xla(a5, x_full, alpha)
         return y_loc[None]

@@ -59,6 +59,22 @@ def test_distributed_empty_shard():
     assert _dist_err(a_sp, 8) < 1e-6
 
 
+def test_distributed_pallas_backend():
+    # the Pallas kernel (interpret mode) under shard_map: exercises the
+    # trace-safe meta-plane build and per-shard static plan uniformity
+    a_sp = synth.banded(1024, 9, dtype=np.float32)
+    mesh = make_mesh(4)
+    da = distribute_csr(a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh)
+    x = synth.dense_x(1024, dtype=np.float32)
+    y = np.asarray(
+        jax.jit(
+            lambda xx: distributed_spmv(da, xx, mesh, backend="pallas_interpret")
+        )(jnp.asarray(x))
+    )
+    y_ref = a_sp @ x
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-5
+
+
 def test_distributed_cg():
     m = 256
     a_sp = synth.banded(m, 5, dtype=np.float32)
