@@ -24,7 +24,6 @@ Both compute ``y = alpha * A @ x`` like ``anonymouslibHandle::spmv``
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -75,6 +75,20 @@ def test_distributed_pallas_backend():
     assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-5
 
 
+def test_weak_scaling_harness():
+    # correctness/plumbing of the weak-scaling sweep on the virtual mesh
+    # (absolute times are meaningless on CPU; efficiencies just have to
+    # be computed and finite)
+    from benchmark_spmv_using_csr5_tpu.parallel import scaling
+
+    pts = scaling.weak_scaling(
+        device_counts=[1, 2], rows_per_device=2048, iters=3
+    )
+    assert [p.devices for p in pts] == [1, 2]
+    assert all(np.isfinite(p.efficiency) and p.efficiency > 0 for p in pts)
+    assert "weak-eff" in scaling.report(pts)
+
+
 def test_distributed_cg():
     m = 256
     a_sp = synth.banded(m, 5, dtype=np.float32)
