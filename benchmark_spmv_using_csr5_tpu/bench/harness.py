@@ -74,14 +74,21 @@ def _force(x) -> float:
     return float(np.asarray(jax.device_get(x))[0])
 
 
-def time_spmv_device_loop(spmv_fn, x, num_run: int) -> float:
-    """Mean ms per spmv over a data-dependent on-device loop."""
+def time_spmv_device_loop(spmv_fn, x, num_run: int, operands=None) -> float:
+    """Mean ms per spmv over a data-dependent on-device loop.
+
+    ``operands`` (any pytree, e.g. the CSR5Matrix) is threaded through the
+    jit as an argument: closing over large device arrays embeds them as
+    HLO constants, which blows up the compile payload (HTTP 413 on the
+    tunnel) for big matrices. ``spmv_fn(operands, xx)`` when operands is
+    given, else ``spmv_fn(xx)``.
+    """
 
     @jax.jit
-    def run_k(x, k_iters):
+    def run_k(operands, x, k_iters):
         def body(_, carry):
             acc, xx = carry
-            y = spmv_fn(xx)
+            y = spmv_fn(operands, xx) if operands is not None else spmv_fn(xx)
             acc = acc + y.ravel()[:1]
             # re-derive x with a tiny-scaled dependency on acc: forces the
             # loop body to stay sequential; a 0.0 scale can be folded away
@@ -99,10 +106,10 @@ def time_spmv_device_loop(spmv_fn, x, num_run: int) -> float:
     # of the full loop and of a 1-iteration loop (NOTES.md)
     def sample(k, reps=3):
         best = float("inf")
-        _ = _force(run_k(x, k))  # compile + warm
+        _ = _force(run_k(operands, x, k))  # compile + warm
         for _ in range(reps):
             t0 = time.perf_counter()
-            _ = _force(run_k(x, k))
+            _ = _force(run_k(operands, x, k))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -165,34 +172,30 @@ def run_benchmark(
                 else "xla"
             )
         if backend == "pallas":
-            spmv_fn = lambda xx: csr5_spmm_pallas(a5, xx)  # noqa: E731
+            spmv_fn = lambda a, xx: csr5_spmm_pallas(a, xx)  # noqa: E731
         else:
-            spmv_fn = lambda xx: csr5_spmm_xla(a5, xx)  # noqa: E731
-    elif backend == "auto":
-        backend = (
-            "pallas"
-            if jax.default_backend() == "tpu" and pallas_supported(a5)
-            else "xla"
-        )
-        spmv_fn = (
-            (lambda xx: csr5_spmv_pallas(a5, xx))
-            if backend == "pallas"
-            else (lambda xx: csr5_spmv_xla(a5, xx))
-        )
-    elif backend == "pallas":
-        spmv_fn = lambda xx: csr5_spmv_pallas(a5, xx)  # noqa: E731
+            spmv_fn = lambda a, xx: csr5_spmm_xla(a, xx)  # noqa: E731
     else:
-        spmv_fn = lambda xx: csr5_spmv_xla(a5, xx)  # noqa: E731
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if jax.default_backend() == "tpu" and pallas_supported(a5)
+                else "xla"
+            )
+        if backend == "pallas":
+            spmv_fn = lambda a, xx: csr5_spmv_pallas(a, xx)  # noqa: E731
+        else:
+            spmv_fn = lambda a, xx: csr5_spmv_xla(a, xx)  # noqa: E731
 
     # correctness at the reference tolerance (main.cu:361-384)
-    y = np.asarray(jax.device_get(spmv_fn(xd)))
+    y = np.asarray(jax.device_get(spmv_fn(a5, xd)))
     denom = np.maximum(np.abs(y_ref), 1e-30)
     rel = np.abs(y - y_ref) / denom
     rel[np.abs(y - y_ref) < 1e-6 * max(1.0, np.abs(y_ref).max())] = 0.0
     max_rel = float(rel.max()) if rel.size else 0.0
     check_ok = bool(max_rel <= 0.01)
 
-    spmv_ms = time_spmv_device_loop(spmv_fn, xd, num_run)
+    spmv_ms = time_spmv_device_loop(spmv_fn, xd, num_run, operands=a5)
     met = perf.spmv_metrics(
         m,
         csr.nnz,
