@@ -1,45 +1,65 @@
-"""The CSR5 SpMV Pallas TPU kernel (v2).
+"""The CSR5 SpMV/SpMM Pallas TPU kernel.
 
 TPU re-design of the reference's 3-kernel CUDA pipeline
 (``csr5_spmv_cuda.h:275-419``). One kernel makes a single sequential pass
-over all (sigma, 128) tiles (incl. the zero-padded tail tile); per tile:
+over blocks of B (sigma, 128) tiles (incl. the zero-padded tail tile);
+per block, for each of the R right-hand sides:
 
-1. **x page gather** (replaces the per-lane ``fetch_x`` texture gathers,
+1. **x gather** (replaces the per-lane ``fetch_x`` texture gathers,
    csr5_spmv_cuda.h:7-23): x resides whole in VMEM as (n/128+1, 128) with
-   a final zero sentinel row. The conversion stored each tile's distinct
-   128-column page list padded with the sentinel page id; the kernel
-   statically unrolls over pmax page slots — dynamic-slice load the
-   (1,128) page, lane-shuffle it by ``col & 127`` (``take_along_axis``
-   along lanes, the TPU analogue of ``__shfl``) and accumulate where
-   ``col >> 7`` matches. Dead slots match nothing (sentinel), so the
-   unroll needs no data-dependent control flow and pipelines fully (a
-   per-page ``fori_loop`` serializes and is ~6x slower, NOTES.md).
-2. **tile-local inclusive prefix** of the products in element order: the
-   within-lane prefix over sigma is ONE MXU matmul with a lower-
-   triangular ones matrix, ``LT[s,s'] = s' <= s``; the cross-lane carry
-   is a second (1,128)x(128,128) strict-lower matmul. This replaces the
-   fast/normal-track FMA loops + ``segmented_sum_shfl`` warp scans
-   (csr5_spmv_cuda.h:25-57,91-200) with systolic-array work that hides
-   under the HBM stream.
+   a final zero sentinel row; products land in a (sigma, R*B*128) VMEM
+   scratch. Three tiers, chosen statically per matrix:
+
+   - tier 0 (``pages_contig``): every tile's pages form a short
+     consecutive range — ONE (pmax,128) slab load per tile, then per
+     page ``take_along_axis`` lane-shuffle by ``col & 127`` (the TPU
+     analogue of ``__shfl``) + masked accumulate where ``col >> 7``
+     matches. The structured-matrix fast path (banded etc.).
+   - tier 1 (pmax <= MAX_UNROLL_PAGES): static masked unroll over the
+     tile's distinct-page list (sentinel-padded, so no data-dependent
+     control flow; a per-page ``fori_loop`` serializes ~6x, NOTES.md).
+   - tier 2 (<= MAX_FORI_PAGES): one block-level ``fori_loop`` over the
+     max live page count; each iteration advances all B tiles' gathers
+     (independent latency chains) via prod-scratch accumulation.
+
+2. **batched MXU prefix scans**: the within-lane inclusive prefix over
+   sigma for ALL R*B tiles of the block is ONE
+   (sigma,sigma)@(sigma,R*B*128) matmul with a lower-triangular ones
+   matrix; the cross-lane carries are one (R*B,128)@(128,128)
+   strict-lower matmul. Replaces the fast/normal-track FMA loops +
+   ``segmented_sum_shfl`` warp scans (csr5_spmv_cuda.h:25-57,91-200);
+   per-tile matmuls carry ~100-cycle fixed MXU cost, batching them cut
+   the kernel time in half (NOTES.md). ``Precision.HIGHEST`` keeps the
+   scans f32-exact.
+
 3. **routed window extraction**: gathers the prefix at each row's last
    element using the conversion's packed monotone row-end map (derived
    from bit_flag/y_offset/empty_offset; NOTES.md) and differences
    neighbours to get per-row partial sums — including the empty-row
    indirection (format_cuda.h:362-523) and the partial first/last rows.
-4. **sequential window accumulation** into the VMEM-resident y: because
-   the TPU grid runs in order on one core, overlapping row windows of
-   consecutive tiles accumulate directly — subsuming the calibrator
-   (csr5_spmv_cuda.h:313-382) and tail-partition (:384-419) kernels.
 
-Per-tile scalar metadata (row start, page ids) lives in one packed int32
-plane, streamed per grid block into SMEM via a blocked BlockSpec (the
-pipeline double-buffers it like any other block input).
+4. **sequential window accumulation** into a VMEM *scratch* y that
+   persists across the sequential grid (a pipelined output block would
+   be written back to HBM every step — ~7x stream collapse): because the
+   grid runs in order on one core, overlapping row windows of
+   consecutive tiles accumulate directly — subsuming the calibrator
+   (csr5_spmv_cuda.h:313-382) and tail-partition (:384-419) kernels. The
+   final grid step DMAs y to the ANY-space output.
+
+Per-tile scalar metadata (row start, page count, page ids) lives in one
+packed int32 plane, streamed per grid block into SMEM via a blocked
+BlockSpec (the pipeline double-buffers it like any other block input).
 
 alpha is folded into x before the kernel (y = A @ (alpha x)).
 
-Static limits of this kernel (checked by :func:`pallas_supported`; the
-XLA executor covers the rest): f32/bf16 values, sigma a multiple of 8,
-pmax <= MAX_UNROLL_PAGES, x and y resident in VMEM.
+Static limits of this kernel (checked by :func:`pallas_supported` /
+:func:`pallas_spmm_supported`; the XLA executor covers the rest):
+f32/bf16 values, sigma a multiple of 8, pmax <= MAX_FORI_PAGES, x and y
+(x R) resident in VMEM.
+
+Measured on one TPU v5e chip (f32): banded 500k x 14M nnz = 0.30 ms =
+~67% of the 819 GB/s HBM roofline, exact vs scipy; see NOTES.md for the
+ablation history.
 """
 
 from __future__ import annotations
