@@ -28,8 +28,8 @@ def _x_mat(n, R, seed=2):
 
 @pytest.mark.parametrize("R", [1, 2, 8])
 def test_spmm_pallas_matches_scipy(R):
-    a_sp = synth.banded(700, 11).astype(np.float32)
-    a5 = build_csr5(csr_from_scipy(a_sp), CSR5Config(sigma=16, tiles_per_block=8))
+    a_sp = synth.banded(320, 9).astype(np.float32)
+    a5 = build_csr5(csr_from_scipy(a_sp), CSR5Config(sigma=8, tiles_per_block=4))
     X = _x_mat(a_sp.shape[1], R)
     Y = np.asarray(csr5_spmm_pallas(a5, X, alpha=2.0, interpret=True))
     Y_ref = 2.0 * (a_sp @ X)
@@ -48,7 +48,7 @@ def test_spmm_xla_matches_scipy():
 def test_spmm_edge_cases(edge_matrix):
     name, a_sp = edge_matrix
     a_sp = a_sp.astype(np.float32)
-    a5 = build_csr5(csr_from_scipy(a_sp), CSR5Config(sigma=16, tiles_per_block=8))
+    a5 = build_csr5(csr_from_scipy(a_sp), CSR5Config(sigma=8, tiles_per_block=4))
     X = _x_mat(a_sp.shape[1], 2)
     Y = np.asarray(csr5_spmm_pallas(a5, X, interpret=True))
     Y_ref = a_sp @ X
