@@ -205,12 +205,16 @@ def build_csr5(
     csr,
     config: Optional[CSR5Config] = None,
     sigma: int = AUTO_TUNED_SIGMA,
+    value_dtype=None,
 ) -> CSR5Matrix:
     """CSR -> CSR5: the asCSR5() analogue (anonymouslib_cuda.h:106-220).
 
     ``csr`` may be a CSRMatrix, a scipy.sparse CSR matrix, or a host tuple
     ``(row_ptr, col_idx, values, shape)``; host inputs skip the slow
-    device readback.
+    device readback. ``value_dtype`` overrides the stored value dtype --
+    ``jnp.bfloat16`` halves the streamed value plane (the kernel
+    accumulates in f32 regardless; numpy has no bf16, so the cast happens
+    on device).
     """
     row_ptr, col_idx, values, (m, n) = _as_host_csr(csr)
     nnz = int(values.shape[0])
@@ -357,6 +361,8 @@ def build_csr5(
     val_tiles = jnp.swapaxes(
         jnp.asarray(val_flat).reshape(p_pad, omega, sig), 1, 2
     )
+    if value_dtype is not None:
+        val_tiles = val_tiles.astype(value_dtype)
     _mark("transpose")
     last_convert_phases.clear()
     last_convert_phases.update(_ph)

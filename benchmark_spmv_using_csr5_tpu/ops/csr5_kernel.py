@@ -224,7 +224,7 @@ def _spmv_kernel(
         # single-rhs fast path: accumulate in registers (no scratch RMW)
         for b in range(B):
             col = col_ref[pl.ds(b * sigma, sigma), :]
-            val = val_ref[pl.ds(b * sigma, sigma), :]
+            val = val_ref[pl.ds(b * sigma, sigma), :].astype(jnp.float32)
             lane = col & (LANES - 1)
             page_of = col >> 7
 
@@ -284,7 +284,7 @@ def _spmv_kernel(
                         )
                         prod_ref[:, _sl(b, r)] += jnp.where(mask, g, 0.0)
         for b in range(B):
-            val = val_ref[pl.ds(b * sigma, sigma), :]
+            val = val_ref[pl.ds(b * sigma, sigma), :].astype(jnp.float32)
             for r in range(R):
                 prod_ref[:, _sl(b, r)] = prod_ref[:, _sl(b, r)] * val
     else:
@@ -314,7 +314,7 @@ def _spmv_kernel(
 
         jax.lax.fori_loop(0, cnt_max, body, 0)
         for b in range(B):
-            val = val_ref[pl.ds(b * sigma, sigma), :]
+            val = val_ref[pl.ds(b * sigma, sigma), :].astype(jnp.float32)
             for r in range(R):
                 prod_ref[:, _sl(b, r)] = prod_ref[:, _sl(b, r)] * val
 
@@ -451,7 +451,9 @@ def _csr5_spmv_pallas_jit(a5: CSR5Matrix, x, alpha, interpret: bool):
     )
     x2d = x_pad.reshape(n_pad // LANES + 1, LANES)
     col2d = a5.col_idx_tiles.reshape(p * sigma, LANES)
-    val2d = a5.val_tiles.astype(jnp.float32).reshape(p * sigma, LANES)
+    # stream values at their stored dtype (bf16 halves the val plane);
+    # the kernel accumulates in f32 either way
+    val2d = a5.val_tiles.reshape(p * sigma, LANES)
 
     B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
     call = _make_pallas_call(
@@ -492,7 +494,9 @@ def _csr5_spmm_pallas_jit(a5: CSR5Matrix, xm, alpha, interpret: bool):
     x_pad = jnp.pad(xt, ((0, 0), (0, n_pad + LANES - a5.n)))
     x2d = x_pad.reshape(R * (n_pad // LANES + 1), LANES)
     col2d = a5.col_idx_tiles.reshape(p * sigma, LANES)
-    val2d = a5.val_tiles.astype(jnp.float32).reshape(p * sigma, LANES)
+    # stream values at their stored dtype (bf16 halves the val plane);
+    # the kernel accumulates in f32 either way
+    val2d = a5.val_tiles.reshape(p * sigma, LANES)
 
     B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
     call = _make_pallas_call(

@@ -81,6 +81,25 @@ def test_kernel_tier2_fori_gather():
     )
 
 
+def test_kernel_bf16_values():
+    # bf16-stored values (half the streamed value plane), f32 accumulate
+    import jax.numpy as jnp
+
+    a_sp = synth.banded(400, 9).astype(np.float32)
+    a5 = build_csr5(
+        csr_from_scipy(a_sp), small_cfg(sigma=8), value_dtype=jnp.bfloat16
+    )
+    assert a5.val_tiles.dtype == jnp.bfloat16
+    assert pallas_supported(a5)
+    x = synth.dense_x(a_sp.shape[1], dtype=np.float32)
+    y = np.asarray(csr5_spmv_pallas(a5, x, interpret=True))
+    y_ref = a_sp @ x
+    # bf16 has an 8-bit mantissa: ~0.4% relative per value
+    np.testing.assert_allclose(
+        y, y_ref, atol=1e-2 * max(1.0, np.abs(y_ref).max())
+    )
+
+
 def test_pallas_supported_gate():
     a_sp = synth.random_csr(100, 100, 0.05, dtype=np.float32)
     a5 = build_csr5(csr_from_scipy(a_sp))
