@@ -120,6 +120,18 @@ class SpMVHandle:
             raise ValueError("no matrix loaded (Status.INVALID_HANDLE)")
         return y
 
+    def spmm(self, x_mat, alpha=1.0) -> jax.Array:
+        """Y = alpha * A @ X for X (n, R) (multi-rhs extension; the
+        reference has no SpMM -- BASELINE.json configs[3])."""
+        from ..ops.csr5_spmv import csr5_spmm
+
+        x_mat = jnp.asarray(x_mat)
+        if x_mat.ndim != 2 or x_mat.shape[0] != self.shape[1]:
+            raise ValueError("X must be (n, R) (Status.INVALID_HANDLE)")
+        if self._format != Format.CSR5:
+            raise ValueError("asCSR5 first (Status.INVALID_HANDLE)")
+        return csr5_spmm(self._csr5, x_mat, alpha, backend=self._backend)
+
     def destroy(self) -> int:
         """Release state; converts back to CSR first like the reference's
         destroy() -> asCSR() (anonymouslib_cuda.h:287-292)."""

@@ -117,6 +117,9 @@ def test_handle_lifecycle():
     y5 = np.asarray(h.spmv(1.0))
     np.testing.assert_allclose(y5, a_sp @ x, rtol=1e-10)
     np.testing.assert_allclose(y_csr, a_sp @ x, rtol=1e-10)
+    xm = np.stack([x, 2 * x], axis=1)
+    ym = np.asarray(h.spmm(xm, alpha=0.5))
+    np.testing.assert_allclose(ym, 0.5 * (a_sp @ xm), rtol=1e-10)
     h.asCSR()
     assert h.format == Format.CSR
     assert h.destroy() == 0
