@@ -104,7 +104,7 @@ def time_spmv_device_loop(spmv_fn, x, num_run: int, operands=None) -> float:
 
     # the tunnel adds +-2 ms of per-dispatch jitter: use min-of-3 samples
     # of the full loop and of a 1-iteration loop (NOTES.md)
-    def sample(k, reps=3):
+    def sample(k, reps=5):
         best = float("inf")
         _ = _force(run_k(operands, x, k))  # compile + warm
         for _ in range(reps):
