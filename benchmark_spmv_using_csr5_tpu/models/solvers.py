@@ -74,6 +74,41 @@ def bicgstab(spmv: SpMV, b: jax.Array, iters: int = 50) -> Tuple[jax.Array, jax.
     return x, jnp.linalg.norm(r)
 
 
+@partial(
+    jax.jit, static_argnames=("spmv_lo", "spmv_hi", "outer_iters", "inner_iters")
+)
+def iterative_refinement(
+    spmv_lo: SpMV,
+    spmv_hi: SpMV,
+    b: jax.Array,
+    outer_iters: int = 5,
+    inner_iters: int = 50,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mixed-precision solve of SPD ``A x = b`` to high-precision accuracy.
+
+    TPU has no native f64; the production pattern is iterative
+    refinement: the inner CG runs on the fast low-precision operator
+    (``spmv_lo``, the f32 Pallas kernel), while residuals are formed with
+    the high-precision operator (``spmv_hi``, e.g. the XLA executor on a
+    f64 matrix). Error contracts by ~the f32 accuracy factor per outer
+    iteration, reaching f64-level solution accuracy with a handful of
+    cheap-inner-solve rounds. Returns (x_hi, final residual norm).
+    """
+    dtype_hi = b.dtype
+    x = jnp.zeros_like(b)
+
+    def outer(_, x):
+        r = b - spmv_hi(x)
+        d, _ = conjugate_gradient(
+            spmv_lo, r.astype(jnp.float32), iters=inner_iters
+        )
+        return x + d.astype(dtype_hi)
+
+    x = jax.lax.fori_loop(0, outer_iters, outer, x)
+    r = b - spmv_hi(x)
+    return x, jnp.linalg.norm(r)
+
+
 @partial(jax.jit, static_argnames=("spmv", "n", "iters", "seed", "dtype"))
 def power_iteration(
     spmv: SpMV, n: int, iters: int = 100, seed: int = 0, dtype=jnp.float32

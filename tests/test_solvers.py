@@ -37,6 +37,30 @@ def test_bicgstab_solves_general():
     np.testing.assert_allclose(a_sp @ np.asarray(x), b, atol=1e-5)
 
 
+def test_iterative_refinement_reaches_f64_accuracy():
+    import jax.numpy as jnp
+
+    a64 = _spd(m=150, seed=7)  # f64
+    a32 = sp.csr_matrix(a64).astype(np.float32)
+    b = np.ones(150, np.float64)
+
+    spmv_hi = _spmv_fn(a64)
+    spmv_lo = _spmv_fn(a32)
+
+    # f32-only CG plateaus near f32 roundoff; refinement goes far below
+    x32, _ = solvers.conjugate_gradient(
+        spmv_lo, jnp.asarray(b, jnp.float32), iters=300
+    )
+    res32 = np.linalg.norm(a64 @ np.asarray(x32, np.float64) - b)
+
+    x_ir, res_ir = solvers.iterative_refinement(
+        spmv_lo, spmv_hi, jnp.asarray(b), outer_iters=4, inner_iters=100
+    )
+    assert x_ir.dtype == jnp.float64
+    assert float(res_ir) < 1e-10
+    assert float(res_ir) < res32 / 10
+
+
 def test_power_iteration_dominant_eig():
     import jax.numpy as jnp
 
