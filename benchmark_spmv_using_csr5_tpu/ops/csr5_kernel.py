@@ -86,6 +86,10 @@ MAX_FORI_PAGES = 4096
 #: scalar-load -> dynamic-slice latency chain that serializes a plain loop)
 FORI_PAGE_UNROLL = 4
 
+#: precision of the batched MXU prefix scans. HIGHEST = 6-pass (exact
+#: f32); HIGH = 3-pass bf16x3 (~5e-7 relative, well inside the 1%% gate)
+_SCAN_PRECISION = jax.lax.Precision.HIGHEST
+
 # v1 residency limits (x + y + double-buffered blocks must fit VMEM)
 _VMEM_BUDGET = 96 * 1024 * 1024
 #: per-buffer cap for the double-buffered SMEM meta block (the core has
@@ -325,7 +329,7 @@ def _spmv_kernel(
     pv_ref[:] = jax.lax.dot_general(
         lt_s, prod_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_SCAN_PRECISION,
     )
     for b in range(B):
         for r in range(R):
@@ -335,7 +339,7 @@ def _spmv_kernel(
     le_all = jax.lax.dot_general(  # (R*B,128) exclusive cross-lane carries
         lt_ref[:], ltx, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_SCAN_PRECISION,
     )
 
     # ---- pass 2: routed window extraction + sequential accumulation ------
