@@ -59,9 +59,29 @@ def main(argv=None):
         metavar="K",
         help="benchmark SpMM with K right-hand sides instead of SpMV",
     )
+    ap.add_argument(
+        "--reorder",
+        choices=["none", "rcm"],
+        default="none",
+        help="locality-preserving symmetric permutation before conversion "
+        "(bandwidth reduction restores the fast gather tier for "
+        "irregular matrices; square matrices only)",
+    )
     args = ap.parse_args(argv)
 
     rp, ci, v, shape, name = load_matrix(args)
+    if args.reorder != "none":
+        import scipy.sparse as sp
+
+        from ..utils import reorder as _reorder
+
+        if shape[0] != shape[1]:
+            raise SystemExit("--reorder requires a square matrix")
+        a_perm, _ = _reorder.reorder_for_locality(
+            sp.csr_matrix((v, ci, rp), shape=shape), method=args.reorder
+        )
+        rp, ci, v = a_perm.indptr, a_perm.indices, a_perm.data
+        name = f"{name}+{args.reorder}"
     res = run_benchmark(
         name,
         rp,
