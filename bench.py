@@ -32,17 +32,41 @@ def main():
     }
     results = {}
     for name, (a, rhs) in suite.items():
-        res = run_benchmark(
-            name,
-            a.indptr,
-            a.indices,
-            a.data,
-            a.shape,
-            num_run=200 if rhs == 1 else 50,
-            num_rhs=rhs,
+        for attempt in (1, 2):  # retry once: the tunnel occasionally 500s
+            try:
+                res = run_benchmark(
+                    name,
+                    a.indptr,
+                    a.indices,
+                    a.data,
+                    a.shape,
+                    num_run=200 if rhs == 1 else 50,
+                    num_rhs=rhs,
+                )
+                results[name] = res
+                print(res.report(), file=sys.stderr)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"[{name}] attempt {attempt} failed: {type(e).__name__}: "
+                    f"{str(e)[:200]}",
+                    file=sys.stderr,
+                )
+
+    if "banded500k" not in results:
+        print(
+            json.dumps(
+                {
+                    "metric": "csr5_spmv_pct_hbm_roofline_banded500k_f32",
+                    "value": 0.0,
+                    "unit": "% of 819 GB/s roofline",
+                    "vs_baseline": 0.0,
+                    "check": False,
+                    "error": "primary benchmark failed twice",
+                }
+            )
         )
-        results[name] = res
-        print(res.report(), file=sys.stderr)
+        return
 
     primary = results["banded500k"]
     out = {
