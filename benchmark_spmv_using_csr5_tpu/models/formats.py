@@ -21,7 +21,7 @@ descriptor, so conversion back to CSR is exact.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -164,8 +164,19 @@ class CSR5Matrix:
     #: in-tile position of the last element of row base+d is
     #: lane*sigma + sublane (monotone; repeats encode empty rows).
     win_map: jax.Array
+    #: (p, sigma/2, omega) int32 stream-compressed column plane, or None
+    #: when pmax > 512. Each int32 packs the uint16 codes
+    #: ``lane | local_page<<7`` of tile elements (s, l) and (s+sigma/2, l),
+    #: where local_page is the index into ``pages[t]`` (== page - pages[t,0]
+    #: in contiguous mode). Halves the column bytes the SpMV kernel streams;
+    #: ``col_idx_tiles`` remains the uncompressed parity plane for asCSR.
+    col_packed: Optional[jax.Array] = None
 
     # --- static plan parameters -----------------------------------------
+    #: True when win_map slots are anchored at each tile's OWN first row
+    #: (capw == 128; the kernel rotates the diffed window by row_start%128
+    #: into y). False = slots anchored at the 128-aligned base row.
+    win_rel: bool = struct.field(pytree_node=False, default=False)
     tail_row_start: int = struct.field(pytree_node=False, default=0)
     capw: int = struct.field(pytree_node=False, default=128)
     pmax: int = struct.field(pytree_node=False, default=8)

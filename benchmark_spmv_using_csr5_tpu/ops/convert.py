@@ -206,6 +206,7 @@ def build_csr5(
     config: Optional[CSR5Config] = None,
     sigma: int = AUTO_TUNED_SIGMA,
     value_dtype=None,
+    win_mode: str = "auto",
 ) -> CSR5Matrix:
     """CSR -> CSR5: the asCSR5() analogue (anonymouslib_cuda.h:106-220).
 
@@ -214,7 +215,8 @@ def build_csr5(
     device readback. ``value_dtype`` overrides the stored value dtype --
     ``jnp.bfloat16`` halves the streamed value plane (the kernel
     accumulates in f32 regardless; numpy has no bf16, so the cast happens
-    on device).
+    on device). ``win_mode="aligned"`` forces the 128-aligned window maps
+    (the distributed layer needs uniform maps across shards).
     """
     row_ptr, col_idx, values, (m, n) = _as_host_csr(csr)
     nnz = int(values.shape[0])
@@ -332,19 +334,66 @@ def build_csr5(
             tsel, esel = np.nonzero(first)
             pages[tsel, pos[tsel, esel]] = pages_sorted[tsel, esel]
 
-    # monotone row-end window maps (NOTES.md): window slot d of tile t maps
-    # to row base[t]+d where base = row_start rounded down to 128 (so the
-    # kernel's y adds are 128-row aligned). win_end[t,d] = in-tile position
-    # of the last element of that row: clip(row_ptr[min(base+d+1, m)]-1 -
-    # t*T, 0, T-1). Monotone with repeats => empty rows and beyond-span
-    # slots auto-produce zero diffs. Slots d < row_start-base (rows ending
-    # before the tile) are masked in-kernel from row_start % 128.
+    # --- stream-compressed column plane (NOTES.md) ----------------------
+    # uint16 code "lane(7b) | local_page(<=9b)" per element, where
+    # local_page indexes the tile's page list; pairs of sigma-rows later
+    # combine into one int32 plane on device, HALVING the column bytes the
+    # kernel streams (6 B/elem with f32 values, 4 with bf16). Valid while
+    # every local index fits 9 bits (pmax <= 512). Gated to sigma % 16 == 0:
+    # the kernel decodes each int32 into two (sigma/2, 128) half-planes,
+    # and a non-8-multiple sigma/2 forces ragged sub-vreg ops that cost
+    # more than the stream saving (measured: sigma=24 0.41 vs 0.36 ms
+    # banded500k, sigma=16/32 a 5-8% win; NOTES.md round-1 session 3).
+    col16 = None
+    if pmax <= 512 and sig % 16 == 0:
+        if pages_contig:
+            # local = page - slab_lo, broadcast per tile (cheap, vectorised)
+            cf2 = col_flat.reshape(p_pad, T)
+            local = (cf2 >> 7) - lo[:, None]
+            col16 = ((cf2 & 127) | (local << 7)).astype(np.uint16).reshape(-1)
+        else:
+            col16 = nativelib.col_local_packed(col_flat, p_pad, T, page_sentinel + 1)
+            if col16 is None:
+                # numpy fallback: rank pages within each tile via argsort
+                pg2 = (col_flat >> 7).reshape(p_pad, T)
+                order = np.argsort(pg2, axis=1, kind="stable")
+                ps = np.take_along_axis(pg2, order, axis=1)
+                fst = np.ones_like(ps, dtype=bool)
+                fst[:, 1:] = ps[:, 1:] != ps[:, :-1]
+                loc_sorted = np.cumsum(fst.astype(np.int32), axis=1) - 1
+                local = np.empty_like(loc_sorted)
+                np.put_along_axis(local, order, loc_sorted, axis=1)
+                cf2 = col_flat.reshape(p_pad, T)
+                col16 = ((cf2 & 127) | (local << 7)).astype(np.uint16).reshape(-1)
+
+    # monotone row-end window maps (NOTES.md): win_end[t,d] = in-tile
+    # position of the last element of the row at window slot d:
+    # clip(row_ptr[min(row0+d+1, m)]-1 - t*T, 0, T-1). Monotone with
+    # repeats => empty rows and beyond-span slots auto-produce zero diffs.
+    #
+    # Two window anchorings:
+    # - wrapped (span_max+1 <= 128, ``win_rel``): ONE 128-slot group per
+    #   tile. Slot d maps to row base+d for d >= rs%128 and WRAPS to row
+    #   base+128+d for d < rs%128 (base = rs rounded down to 128), i.e.
+    #   the rotation that lines rows up with y lanes is baked into the
+    #   map. The kernel then needs only a static roll(1) for the diff
+    #   (the wrap seam slot127->slot0 is exactly consecutive rows) and
+    #   one (2,128) add into the two straddled y blocks — half the
+    #   window-extraction VPU work of the aligned mode.
+    # - aligned: slot d = row base+d over G=capw/128 groups; slots
+    #   d < rs-base are masked in-kernel.
     span = tile_ptr[1:] - tile_ptr[:-1]  # rows spanned (excl. carry row)
-    capw = _pow2_at_least(int(span.max()) + 1 + 128, 128)
+    win_rel = bool(int(span.max()) + 1 <= 128) and win_mode != "aligned"
     rs = tile_ptr[:-1][:, None]  # (p,1)
-    base = (rs // 128) * 128
-    d = np.arange(capw)[None, :]
-    ridx = np.minimum(base + d + 1, m)
+    if win_rel:
+        capw = 128
+        off = rs & 127
+        d = np.arange(capw)[None, :]
+        ridx = np.minimum((rs - off) + d + np.where(d < off, 128, 0) + 1, m)
+    else:
+        capw = _pow2_at_least(int(span.max()) + 1 + 128, 128)
+        d = np.arange(capw)[None, :]
+        ridx = np.minimum((rs // 128) * 128 + d + 1, m)
     win_end = np.clip(row_ptr[ridx] - 1 - (np.arange(p_pad) * T)[:, None], 0, T - 1)
     win_map = (win_end % sig).astype(np.int32) | (
         (win_end // sig).astype(np.int32) << 16
@@ -363,6 +412,12 @@ def build_csr5(
     )
     if value_dtype is not None:
         val_tiles = val_tiles.astype(value_dtype)
+    col_packed = None
+    if col16 is not None:
+        # combine sigma-row pairs (s, s+sigma/2) into one int32 on device
+        c32 = jnp.asarray(col16).reshape(p_pad, omega, sig).astype(jnp.int32)
+        s2 = sig // 2
+        col_packed = jnp.swapaxes(c32[:, :, :s2] | (c32[:, :, s2:] << 16), 1, 2)
     _mark("transpose")
     last_convert_phases.clear()
     last_convert_phases.update(_ph)
@@ -386,6 +441,8 @@ def build_csr5(
         pages_contig=pages_contig,
         page_cnt=jnp.asarray(page_cnt, jdt),
         win_map=jnp.asarray(win_map, jdt),
+        col_packed=col_packed,
+        win_rel=win_rel,
         tail_row_start=tail_row_start,
         capw=capw,
         pmax=pmax,

@@ -50,6 +50,15 @@ Per-tile scalar metadata (row start, page count, page ids) lives in one
 packed int32 plane, streamed per grid block into SMEM via a blocked
 BlockSpec (the pipeline double-buffers it like any other block input).
 
+**Stream-compressed columns**: when every tile's distinct-page count fits
+9 bits (pmax <= 512 — all structured and most irregular matrices), the
+kernel streams ``CSR5Matrix.col_packed`` instead of the raw i32 columns:
+uint16 ``lane | local_page<<7`` codes, two sigma-rows per int32. The
+per-nnz stream drops from 8 B (f32+i32) to 6 B — 4 B with bf16 values —
+which directly lowers the HBM-bound kernel's floor; the page-match masks
+compare the *local* index against the unrolled page slot, which is also
+cheaper than the global-page compare.
+
 alpha is folded into x before the kernel (y = A @ (alpha x)).
 
 Static limits of this kernel (checked by :func:`pallas_supported` /
@@ -118,6 +127,12 @@ def _effective_block(cfg_tiles_per_block: int, pmax: int, num_tiles: int) -> int
     return B
 
 
+def _stream_bytes(a5: CSR5Matrix) -> int:
+    """Per-nnz bytes the kernel streams: value + column plane."""
+    colb = 2 if a5.col_packed is not None else 4
+    return a5.val_tiles.dtype.itemsize + colb
+
+
 def pallas_supported(a5: CSR5Matrix) -> bool:
     cfg = a5.config
     if a5.val_tiles.dtype not in (jnp.float32, jnp.bfloat16):
@@ -129,7 +144,7 @@ def pallas_supported(a5: CSR5Matrix) -> bool:
     if _meta_width(a5.pmax) * 4 > _SMEM_META_BUDGET:
         return False
     B = _effective_block(cfg.tiles_per_block, a5.pmax, a5.num_tiles)
-    blk = 2 * (B * cfg.tile_nnz * 8 + B * a5.capw * 4)  # double-buffered
+    blk = 2 * (B * cfg.tile_nnz * _stream_bytes(a5) + B * a5.capw * 4)  # x2 buf
     vmem = (a5.n_pad + LANES + a5.m_pad) * 4 + blk
     return vmem <= _VMEM_BUDGET
 
@@ -177,7 +192,7 @@ def _taa_sub8(blocks, idx, sigma):
 
 def _spmv_kernel(
     meta_ref,  # (B, mw) i32 SMEM block
-    col_ref,  # (B*sigma, 128) i32 VMEM block
+    col_ref,  # (B*sigma, 128) i32 VMEM block ((B*sigma/2, 128) when packed)
     val_ref,  # (B*sigma, 128) f32 VMEM block
     win_ref,  # (B, capw) i32 VMEM block (packed sub | lane<<16)
     x_ref,  # (R*(n_pad/128 + 1), 128) f32 VMEM whole (zero sentinel rows)
@@ -194,6 +209,8 @@ def _spmv_kernel(
     capw: int,
     R: int = 1,
     contig: bool = False,
+    packed: bool = False,
+    win_rel: bool = False,
 ):
     # y accumulates in VMEM *scratch*, which persists across the
     # sequential grid; making y a pipelined output block instead causes
@@ -224,69 +241,87 @@ def _spmv_kernel(
         return pl.ds((b * R + r) * LANES, LANES)
 
     # ---- pass 1: per-tile x gather + product into the block scratch -----
+    # column decode: one full-height (lane, key) group for the raw i32
+    # plane (key = global x-page), or two half-height groups for the
+    # stream-compressed plane (rows s and s+sigma/2 share an int32; key =
+    # tile-local page index, see CSR5Matrix.col_packed). Masks then
+    # compare key against `k if packed else pid` per unrolled page.
+    s2 = sigma // 2
+
+    def _decode(b):
+        if not packed:
+            col = col_ref[pl.ds(b * sigma, sigma), :]
+            return [(col & (LANES - 1), col >> 7)]
+        c = col_ref[pl.ds(b * s2, s2), :]
+
+        def srl(v, k):  # logical shift; int32 literals (x64-safe)
+            return jax.lax.shift_right_logical(v, jnp.int32(k))
+
+        return [
+            (c & (LANES - 1), srl(c, 7) & 0x1FF),
+            (srl(c, 16) & (LANES - 1), srl(c, 23)),
+        ]
+
+    #: static row slices of the (sigma, .) prod scratch per decode group
+    _grows = [pl.ds(0, sigma)] if not packed else [pl.ds(0, s2), pl.ds(s2, s2)]
+
     if (contig or pmax <= MAX_UNROLL_PAGES) and R == 1:
         # single-rhs fast path: accumulate in registers (no scratch RMW)
         for b in range(B):
-            col = col_ref[pl.ds(b * sigma, sigma), :]
+            groups = _decode(b)
             val = val_ref[pl.ds(b * sigma, sigma), :].astype(jnp.float32)
-            lane = col & (LANES - 1)
-            page_of = col >> 7
-
-            xg = jnp.zeros((sigma, LANES), jnp.float32)
+            accs = [jnp.zeros(lane.shape, jnp.float32) for lane, _ in groups]
             if contig:
                 # tier 0: pages are the consecutive range
                 # [first, first+pmax): ONE (pmax,128) slab load replaces
                 # pmax scalar-indexed row loads
                 first = meta_ref[b, META_HDR]
                 slab = x_ref[pl.ds(first, pmax), :]
-                for k in range(pmax):
+            for k in range(pmax):
+                if contig:
                     xrow = slab[k : k + 1, :]
-                    g = jnp.take_along_axis(
-                        jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
-                    )
-                    xg = xg + jnp.where(page_of == first + k, g, 0.0)
-            else:
-                # tier 1: static masked unroll (fully pipelined)
-                for k in range(pmax):
+                    mv = k if packed else first + k
+                else:
+                    # tier 1: static masked unroll (fully pipelined)
                     pid = meta_ref[b, META_HDR + k]
                     xrow = x_ref[pl.ds(pid, 1), :]
+                    mv = k if packed else pid
+                for gi, (lane, key) in enumerate(groups):
                     g = jnp.take_along_axis(
-                        jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
+                        jnp.broadcast_to(xrow, lane.shape), lane, axis=1
                     )
-                    xg = xg + jnp.where(page_of == pid, g, 0.0)
+                    accs[gi] = accs[gi] + jnp.where(key == mv, g, 0.0)
+            xg = accs[0] if len(accs) == 1 else jnp.concatenate(accs, axis=0)
             prod_ref[:, _sl(b, 0)] = val * xg
     elif contig or pmax <= MAX_UNROLL_PAGES:
         # multi-rhs: the column decode and page-match masks are shared
         # across rhs; per-rhs gathers accumulate into the prod scratch
         prod_ref[:] = jnp.zeros_like(prod_ref)
         for b in range(B):
-            col = col_ref[pl.ds(b * sigma, sigma), :]
-            lane = col & (LANES - 1)
-            page_of = col >> 7
+            groups = _decode(b)
             if contig:
                 first = meta_ref[b, META_HDR]
                 slabs = [
                     x_ref[pl.ds(r * nx_rows + first, pmax), :] for r in range(R)
                 ]
-                for k in range(pmax):
-                    mask = page_of == first + k
-                    for r in range(R):
-                        g = jnp.take_along_axis(
-                            jnp.broadcast_to(slabs[r][k : k + 1, :], (sigma, LANES)),
-                            lane,
-                            axis=1,
-                        )
-                        prod_ref[:, _sl(b, r)] += jnp.where(mask, g, 0.0)
-            else:
-                for k in range(pmax):
+            for k in range(pmax):
+                if contig:
+                    mv = k if packed else first + k
+                else:
                     pid = meta_ref[b, META_HDR + k]
-                    mask = page_of == pid
-                    for r in range(R):
-                        xrow = x_ref[pl.ds(r * nx_rows + pid, 1), :]
+                    mv = k if packed else pid
+                masks = [key == mv for _, key in groups]
+                for r in range(R):
+                    xrow = (
+                        slabs[r][k : k + 1, :]
+                        if contig
+                        else x_ref[pl.ds(r * nx_rows + pid, 1), :]
+                    )
+                    for (lane, _), mask, rsl in zip(groups, masks, _grows):
                         g = jnp.take_along_axis(
-                            jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
+                            jnp.broadcast_to(xrow, lane.shape), lane, axis=1
                         )
-                        prod_ref[:, _sl(b, r)] += jnp.where(mask, g, 0.0)
+                        prod_ref[rsl, _sl(b, r)] += jnp.where(mask, g, 0.0)
         for b in range(B):
             val = val_ref[pl.ds(b * sigma, sigma), :].astype(jnp.float32)
             for r in range(R):
@@ -303,17 +338,17 @@ def _spmv_kernel(
 
         def body(k, carry):
             for b in range(B):
-                col = col_ref[pl.ds(b * sigma, sigma), :]
-                lane = col & (LANES - 1)
-                page_of = col >> 7
+                groups = _decode(b)
                 pid = meta_ref[b, META_HDR + k]
-                mask = page_of == pid
+                mv = k if packed else pid
+                masks = [key == mv for _, key in groups]
                 for r in range(R):
                     xrow = x_ref[pl.ds(r * nx_rows + pid, 1), :]
-                    g = jnp.take_along_axis(
-                        jnp.broadcast_to(xrow, (sigma, LANES)), lane, axis=1
-                    )
-                    prod_ref[:, _sl(b, r)] += jnp.where(mask, g, 0.0)
+                    for (lane, _), mask, rsl in zip(groups, masks, _grows):
+                        g = jnp.take_along_axis(
+                            jnp.broadcast_to(xrow, lane.shape), lane, axis=1
+                        )
+                        prod_ref[rsl, _sl(b, r)] += jnp.where(mask, g, 0.0)
             return carry
 
         jax.lax.fori_loop(0, cnt_max, body, 0)
@@ -345,8 +380,8 @@ def _spmv_kernel(
     # ---- pass 2: routed window extraction + sequential accumulation ------
     for b in range(B):
         rs = meta_ref[b, 0]
-        a_off = rs & (LANES - 1)  # first valid slot in the window
-        by = rs >> 7  # window base row-block (128-row aligned)
+        a_off = rs & (LANES - 1)  # first valid slot / rotation amount
+        by = rs >> 7  # 128-row-aligned y block of the tile's first row
 
         # decode window maps once per tile; reuse across rhs
         wms = []
@@ -376,7 +411,24 @@ def _spmv_kernel(
                 w_groups[0] if G == 1 else jnp.concatenate(w_groups, axis=0)
             )  # (G,128)
 
-            # W_prev[d] = W_end[d-1] across the flattened (G*128,) window
+            if win_rel:
+                # wrapped mode: slot d = row base+d (d >= a_off) or
+                # base+128+d (d < a_off), so lanes already line up with y.
+                # The wrap seam slot127->slot0 is consecutive rows, so a
+                # STATIC roll(1) gives every slot's predecessor; only the
+                # tile's first row (slot a_off) resets to zero.
+                lanes = _lane_iota(W_end.shape)
+                W_prev = jnp.where(
+                    lanes == a_off, 0.0, pltpu.roll(W_end, 1, axis=1)
+                )
+                W2 = W_end - W_prev
+                hi = jnp.where(lanes >= a_off, W2, 0.0)
+                V = jnp.concatenate([hi, W2 - hi], axis=0)
+                y_ref[pl.ds(r * my_rows + by, 2), :] += V
+                continue
+
+            # aligned mode: W_prev[d] = W_end[d-1] across the flattened
+            # (G*128,) window; slots d < a_off masked out
             rolled = pltpu.roll(W_end, 1, axis=1)
             if G > 1:
                 down = pltpu.roll(W_end, 1, axis=0)
@@ -403,19 +455,22 @@ def _spmv_kernel(
 
 
 def _make_pallas_call(
-    p, B, sigma, pmax, capw, n_pad, m_pad, interpret, R=1, contig=False
+    p, B, sigma, pmax, capw, n_pad, m_pad, interpret, R=1, contig=False,
+    packed=False, win_rel=False,
 ):
     kernel = functools.partial(
-        _spmv_kernel, B=B, sigma=sigma, pmax=pmax, capw=capw, R=R, contig=contig
+        _spmv_kernel, B=B, sigma=sigma, pmax=pmax, capw=capw, R=R, contig=contig,
+        packed=packed, win_rel=win_rel,
     )
     mw = _meta_width(pmax)
+    crows = B * (sigma // 2 if packed else sigma)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((R * m_pad // LANES, LANES), jnp.float32),
         grid=(p // B,),
         in_specs=[
             pl.BlockSpec((B, mw), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B * sigma, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((crows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B * sigma, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, capw), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole (+ sentinel rows)
@@ -434,7 +489,8 @@ def _make_pallas_call(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * p * sigma * LANES * R,
-            bytes_accessed=p * sigma * LANES * 8 + R * (m_pad + n_pad) * 4,
+            bytes_accessed=p * sigma * LANES * (6 if packed else 8)
+            + R * (m_pad + n_pad) * 4,
             transcendentals=0,
         ),
     )
@@ -454,7 +510,12 @@ def _csr5_spmv_pallas_jit(a5: CSR5Matrix, x, alpha, interpret: bool):
         (0, n_pad + LANES - a5.n),
     )
     x2d = x_pad.reshape(n_pad // LANES + 1, LANES)
-    col2d = a5.col_idx_tiles.reshape(p * sigma, LANES)
+    packed = a5.col_packed is not None
+    col2d = (
+        a5.col_packed.reshape(p * (sigma // 2), LANES)
+        if packed
+        else a5.col_idx_tiles.reshape(p * sigma, LANES)
+    )
     # stream values at their stored dtype (bf16 halves the val plane);
     # the kernel accumulates in f32 either way
     val2d = a5.val_tiles.reshape(p * sigma, LANES)
@@ -462,7 +523,7 @@ def _csr5_spmv_pallas_jit(a5: CSR5Matrix, x, alpha, interpret: bool):
     B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
     call = _make_pallas_call(
         p, B, sigma, a5.pmax, a5.capw, n_pad, m_pad, interpret,
-        contig=a5.pages_contig,
+        contig=a5.pages_contig, packed=packed, win_rel=a5.win_rel,
     )
     y2d = call(meta, col2d, val2d, a5.win_map, x2d)
     return y2d.reshape(-1)[: a5.m].astype(x.dtype)
@@ -480,7 +541,7 @@ def pallas_spmm_supported(a5: CSR5Matrix, num_rhs: int) -> bool:
     if not pallas_supported(a5):
         return False
     B = _effective_block(a5.config.tiles_per_block, a5.pmax, a5.num_tiles)
-    blk = 2 * (B * a5.config.tile_nnz * 8 + B * a5.capw * 4)
+    blk = 2 * (B * a5.config.tile_nnz * _stream_bytes(a5) + B * a5.capw * 4)
     vmem = num_rhs * (a5.n_pad + LANES + a5.m_pad) * 4 + blk
     return 1 <= num_rhs <= 16 and vmem <= _VMEM_BUDGET
 
@@ -497,7 +558,12 @@ def _csr5_spmm_pallas_jit(a5: CSR5Matrix, xm, alpha, interpret: bool):
     xt = xm.T.astype(jnp.float32) * jnp.asarray(alpha, jnp.float32)
     x_pad = jnp.pad(xt, ((0, 0), (0, n_pad + LANES - a5.n)))
     x2d = x_pad.reshape(R * (n_pad // LANES + 1), LANES)
-    col2d = a5.col_idx_tiles.reshape(p * sigma, LANES)
+    packed = a5.col_packed is not None
+    col2d = (
+        a5.col_packed.reshape(p * (sigma // 2), LANES)
+        if packed
+        else a5.col_idx_tiles.reshape(p * sigma, LANES)
+    )
     # stream values at their stored dtype (bf16 halves the val plane);
     # the kernel accumulates in f32 either way
     val2d = a5.val_tiles.reshape(p * sigma, LANES)
@@ -505,7 +571,7 @@ def _csr5_spmm_pallas_jit(a5: CSR5Matrix, xm, alpha, interpret: bool):
     B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
     call = _make_pallas_call(
         p, B, sigma, a5.pmax, a5.capw, n_pad, m_pad, interpret, R=R,
-        contig=a5.pages_contig,
+        contig=a5.pages_contig, packed=packed, win_rel=a5.win_rel,
     )
     y2d = call(meta, col2d, val2d, a5.win_map, x2d)
     ym = y2d.reshape(R, m_pad)[:, : a5.m]

@@ -51,18 +51,25 @@ def csr5_spmv_xla(a5: CSR5Matrix, x: jax.Array, alpha=1.0) -> jax.Array:
     # routed window extraction: W_end[t, d] = P[t, win_end[t, d]]
     win_end = (a5.win_map >> 16) * sig + (a5.win_map & 0xFFFF)  # (p, capw)
     W_end = jnp.take_along_axis(P, win_end, axis=1)
-    W_prev = jnp.concatenate([jnp.zeros((p, 1), P.dtype), W_end[:, :-1]], axis=1)
 
-    # mask slots before the tile's first row (rows ending before the tile)
     rs = a5.tile_ptr[:-1]
     base = (rs // 128) * 128
     a = (rs - base)[:, None]  # (p, 1)
     d = jnp.arange(a5.capw)[None, :]
-    W_prev = jnp.where(d - 1 >= a, W_prev, 0.0)
-    W2 = jnp.where(d >= a, W_end - W_prev, 0.0)
-
-    # overlapping-window accumulation (the calibrator analogue)
-    rows = base[:, None] + d  # (p, capw), all < m_pad
+    if a5.win_rel:
+        # wrapped 128-slot maps (ops/convert.py): slot d = row base+d for
+        # d >= rs%128, else base+128+d; the wrap seam is consecutive rows
+        W_prev = jnp.where(d == a, 0.0, jnp.roll(W_end, 1, axis=1))
+        W2 = W_end - W_prev
+        rows = base[:, None] + d + jnp.where(d < a, 128, 0)
+    else:
+        # aligned maps: mask slots before the tile's first row
+        W_prev = jnp.concatenate(
+            [jnp.zeros((p, 1), P.dtype), W_end[:, :-1]], axis=1
+        )
+        W_prev = jnp.where(d - 1 >= a, W_prev, 0.0)
+        W2 = jnp.where(d >= a, W_end - W_prev, 0.0)
+        rows = base[:, None] + d  # (p, capw), all < m_pad
     y_pad = jnp.zeros(a5.m_pad, x.dtype).at[rows.reshape(-1)].add(W2.reshape(-1))
     return (alpha * y_pad[:m]).astype(x.dtype)
 

@@ -72,6 +72,11 @@ def _pad_shard_statics(shards: Sequence[CSR5Matrix]) -> Sequence[CSR5Matrix]:
     contig = all(s.pages_contig for s in shards) and all(
         s.pmax == pmax for s in shards
     )
+    # the packed column plane survives stacking only if every shard has it
+    # (the per-element local page indices stay valid under the slot-axis
+    # sentinel padding and the contig->list demotion: both preserve each
+    # page's rank in the tile's list)
+    packed = all(s.col_packed is not None for s in shards)
     out = []
     for s in shards:
         dp = p - s.num_tiles
@@ -104,6 +109,7 @@ def _pad_shard_statics(shards: Sequence[CSR5Matrix]) -> Sequence[CSR5Matrix]:
                 empty_offset_ptr=jnp.pad(s.empty_offset_ptr, (0, dp), mode="edge"),
                 col_idx_tiles=padp(s.col_idx_tiles),
                 val_tiles=padp(s.val_tiles),
+                col_packed=padp(s.col_packed) if packed else None,
                 # tile-axis pads use page 0 (safe: padded tiles have all
                 # val==0, and a first-page of 0 keeps the contig slab read
                 # in bounds); slot-axis pads use the sentinel so the masked
@@ -167,7 +173,10 @@ def distribute_csr(
             local = csr_from_numpy(
                 lrp, col_idx[lo:hi], values[lo:hi], (rows_per, n)
             )
-        shards.append(build_csr5(local, cfg))
+        # aligned window maps: shards must share one window anchoring to
+        # stack (a shard with small row spans would otherwise pick the
+        # relative mode while another picks aligned)
+        shards.append(build_csr5(local, cfg, win_mode="aligned"))
 
     stacked = _stack_shards(_pad_shard_statics(shards))
     axis = mesh.axis_names[0]

@@ -223,6 +223,30 @@ def page_plan(col_flat: np.ndarray, p: int, tile_nnz: int, n_pages: int):
     return page_lo, page_cnt, int(span_max.value), int(cnt_max.value), make_lists
 
 
+def col_local_packed(
+    col_flat: np.ndarray, p: int, tile_nnz: int, n_pages: int
+) -> Optional[np.ndarray]:
+    """Per-element ``lane | local_page<<7`` uint16 plane (list gather mode).
+
+    ``local_page`` is the rank of the element's page in its tile's sorted
+    distinct-page list — the stream-compressed column encoding of the
+    Pallas kernel (valid while pmax <= 512). None if the lib is missing.
+    """
+    lib = _try_load()
+    if lib is None:
+        return None
+    col_flat = np.ascontiguousarray(col_flat, np.int32)
+    out = np.empty(p * tile_nnz, np.uint16)
+    lib.csr5_col_local(
+        ctypes.c_int64(p),
+        ctypes.c_int64(tile_nnz),
+        col_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n_pages),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    return out
+
+
 def tile_partition_pointer(
     row_ptr: np.ndarray, num_tiles: int, tile_nnz: int
 ) -> Optional[np.ndarray]:

@@ -339,4 +339,34 @@ void csr5_page_lists(int64_t p, int64_t tile_nnz, const int32_t* col_flat,
   }
 }
 
+// Phase 3 (packed-column plane): per-element local page index = rank of
+// the element's page within its tile's sorted distinct-page list. Emitted
+// as uint16 "lane | local<<7" (valid while pmax <= 512), the stream-
+// compressed column encoding of the Pallas kernel (ops/csr5_kernel.py).
+void csr5_col_local(int64_t p, int64_t tile_nnz, const int32_t* col_flat,
+                    int64_t n_pages, uint16_t* packed) {
+  std::vector<int32_t> rank(static_cast<size_t>(n_pages), -1);
+  std::vector<int32_t> touched;
+  touched.reserve(4096);
+  for (int64_t t = 0; t < p; ++t) {
+    const int32_t* c = col_flat + t * tile_nnz;
+    for (int64_t k = 0; k < tile_nnz; ++k) {
+      int32_t pg = c[k] >> 7;
+      if (rank[pg] < 0) {
+        rank[pg] = 0;
+        touched.push_back(pg);
+      }
+    }
+    std::sort(touched.begin(), touched.end());
+    for (size_t i = 0; i < touched.size(); ++i) rank[touched[i]] = static_cast<int32_t>(i);
+    uint16_t* o = packed + t * tile_nnz;
+    for (int64_t k = 0; k < tile_nnz; ++k) {
+      int32_t pg = c[k] >> 7;
+      o[k] = static_cast<uint16_t>((c[k] & 127) | (rank[pg] << 7));
+    }
+    for (int32_t pg : touched) rank[pg] = -1;
+    touched.clear();
+  }
+}
+
 }  // extern "C"

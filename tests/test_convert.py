@@ -138,6 +138,13 @@ def test_window_maps_monotone():
         a5 = build_csr5(csr_from_scipy(a_sp))
         wm = np.asarray(a5.win_map)
         we = (wm >> 16) * a5.sigma + (wm & 0xFFFF)
+        if a5.win_rel:
+            # wrapped maps (slot d = row base+d, wrapping below rs%128):
+            # monotone in ROW order, i.e. after rotating each tile's slots
+            # so the tile's first row comes first
+            off = np.asarray(a5.tile_ptr[:-1]) & 127
+            idx = (np.arange(128)[None, :] + off[:, None]) % 128
+            we = np.take_along_axis(we, idx, axis=1)
         assert (np.diff(we, axis=1) >= 0).all(), name
         assert we.min() >= 0 and we.max() < a5.config.tile_nnz, name
 
@@ -150,3 +157,83 @@ def test_sigma_autotune():
     assert compute_sigma(1000, 100_000) == 32  # long rows cap
     assert compute_sigma(10, 10_000) == 8  # very long rows -> small sigma
     assert compute_sigma(1000, 0, sigma=16) == 16  # explicit passthrough
+
+
+def _decode_col_packed(a5):
+    """Reconstruct global columns from the packed plane + page lists."""
+    cp = np.asarray(a5.col_packed)
+    lo, hi = cp & 0xFFFF, (cp >> 16) & 0xFFFF
+    c16 = np.concatenate([lo, hi], axis=1)  # (p, sigma, omega)
+    lane = c16 & 127
+    local = c16 >> 7
+    pages = np.asarray(a5.pages)  # (p, pmax) sorted, sentinel-padded
+    page = np.take_along_axis(
+        np.repeat(pages[:, :, None], c16.shape[2], axis=2), local, axis=1
+    )
+    return page * 128 + lane
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda: synth.banded(1500, 9, dtype=np.float32),  # contig tier 0
+        lambda: synth.scattered_band(900, 6, 2500, dtype=np.float32),  # tier 1
+        lambda: synth.random_csr(300, 20_000, 0.01, seed=5).astype(
+            np.float32
+        ),  # list mode
+    ],
+)
+def test_col_packed_decodes_to_columns(make):
+    a_sp = make()
+    # packing is gated to sigma % 16 == 0 (NOTES.md: ragged half-planes)
+    a5 = build_csr5(csr_from_scipy(a_sp), CSR5Config(sigma=16))
+    assert a5.col_packed is not None
+    assert a5.pmax <= 512
+    np.testing.assert_array_equal(
+        _decode_col_packed(a5), np.asarray(a5.col_idx_tiles)
+    )
+
+
+def test_col_packed_absent_beyond_pmax512():
+    # > 512 distinct pages per tile: wide uniform-random columns
+    a_sp = synth.random_csr(64, 150_000, 0.00035, seed=7).astype(np.float32)
+    a5 = build_csr5(csr_from_scipy(a_sp), CSR5Config(sigma=16))
+    assert a5.pmax > 512
+    assert a5.col_packed is None
+
+
+def test_col_packed_absent_for_unaligned_sigma():
+    # sigma=24 -> (12,128) half-planes would be ragged: packing is skipped
+    a_sp = synth.banded(1500, 9, dtype=np.float32)
+    a5 = build_csr5(csr_from_scipy(a_sp), CSR5Config(sigma=24))
+    assert a5.col_packed is None
+
+
+def test_col_packed_numpy_fallback_matches_native():
+    """The argsort fallback and the native rank pass agree bit-for-bit."""
+    from benchmark_spmv_using_csr5_tpu.utils import nativelib
+
+    if not nativelib.available():
+        pytest.skip("native lib unavailable")
+    a_sp = synth.random_csr(300, 20_000, 0.01, seed=9).astype(np.float32)
+    csr = a_sp.tocsr()
+    a5 = build_csr5((csr.indptr, csr.indices, csr.data, csr.shape), CSR5Config(sigma=16))
+    assert a5.col_packed is not None and not a5.pages_contig
+    T = a5.config.tile_nnz
+    p = a5.num_tiles
+    col_flat = np.zeros(p * T, np.int32)
+    back = np.swapaxes(np.asarray(a5.col_idx_tiles), 1, 2).reshape(-1)
+    col_flat[:] = back
+    native = nativelib.col_local_packed(col_flat, p, T, a5.n_pad // 128 + 1)
+    # numpy fallback re-derivation
+    pg2 = (col_flat >> 7).reshape(p, T)
+    order = np.argsort(pg2, axis=1, kind="stable")
+    ps = np.take_along_axis(pg2, order, axis=1)
+    fst = np.ones_like(ps, dtype=bool)
+    fst[:, 1:] = ps[:, 1:] != ps[:, :-1]
+    loc_sorted = np.cumsum(fst.astype(np.int32), axis=1) - 1
+    local = np.empty_like(loc_sorted)
+    np.put_along_axis(local, order, loc_sorted, axis=1)
+    cf2 = col_flat.reshape(p, T)
+    expect = ((cf2 & 127) | (local << 7)).astype(np.uint16).reshape(-1)
+    np.testing.assert_array_equal(native, expect)

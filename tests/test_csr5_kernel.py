@@ -120,3 +120,32 @@ def test_meta_plane_layout():
         meta[:, META_HDR : META_HDR + a5.pmax], np.asarray(a5.pages)
     )
     assert meta.shape[1] % 128 == 0  # DMA planes need lane-aligned minor dim
+
+def test_kernel_tier2_unpacked_wide():
+    # > 512 distinct pages per tile: the packed column plane is skipped
+    # (col_packed is None) and the raw-i32 tier-2 fori path must still work
+    a_sp = synth.random_csr(64, 150_000, 0.00035, seed=7).astype(np.float32)
+    a5 = build_csr5(csr_from_scipy(a_sp), small_cfg(sigma=16))
+    assert a5.pmax > 512 and a5.col_packed is None
+    x = synth.dense_x(a_sp.shape[1], dtype=np.float32)
+    y_pl = np.asarray(csr5_spmv_pallas(a5, x, interpret=True))
+    y_ref = a_sp @ x
+    np.testing.assert_allclose(
+        y_pl, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max())
+    )
+
+def test_kernel_packed_tier1():
+    # sigma=16 enables the stream-compressed column plane; tier-1 masked
+    # unroll must decode local page indices identically to the raw plane
+    from benchmark_spmv_using_csr5_tpu.ops.csr5_kernel import MAX_UNROLL_PAGES
+
+    a_sp = synth.scattered_band(5000, 6, 4000, dtype=np.float32)
+    a5 = build_csr5(csr_from_scipy(a_sp), small_cfg(sigma=16))
+    assert a5.col_packed is not None and not a5.pages_contig
+    assert a5.pmax <= MAX_UNROLL_PAGES
+    x = synth.dense_x(a_sp.shape[1], dtype=np.float32)
+    y_pl = np.asarray(csr5_spmv_pallas(a5, x, interpret=True))
+    y_ref = a_sp @ x
+    np.testing.assert_allclose(
+        y_pl, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max())
+    )
