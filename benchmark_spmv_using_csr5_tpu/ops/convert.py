@@ -372,24 +372,28 @@ def build_csr5(
     # repeats => empty rows and beyond-span slots auto-produce zero diffs.
     #
     # Two window anchorings:
-    # - wrapped (span_max+1 <= 128, ``win_rel``): ONE 128-slot group per
-    #   tile. Slot d maps to row base+d for d >= rs%128 and WRAPS to row
-    #   base+128+d for d < rs%128 (base = rs rounded down to 128), i.e.
-    #   the rotation that lines rows up with y lanes is baked into the
-    #   map. The kernel then needs only a static roll(1) for the diff
-    #   (the wrap seam slot127->slot0 is exactly consecutive rows) and
-    #   one (2,128) add into the two straddled y blocks — half the
-    #   window-extraction VPU work of the aligned mode.
+    # - wrapped (``win_rel``, the default): capw = ceil((span_max+1)/128)
+    #   *128 slots per tile. Slot d maps to row base+d for d >= rs%128 and
+    #   WRAPS to row base+capw+d for d < rs%128 (base = rs rounded down to
+    #   128), i.e. the rotation that lines rows up with y lanes is baked
+    #   into the map. The kernel then needs only a static roll(1) for the
+    #   diff (the wrap seam last-slot->slot0 is exactly consecutive rows)
+    #   and one (capw/128+1, 128) add into the straddled y blocks — no
+    #   leading-slot masks, no pow2 rounding, and one fewer 128-slot
+    #   group than the aligned mode at every span (measured -18% SpMV /
+    #   -52% SpMM on banded500k; NOTES.md).
     # - aligned: slot d = row base+d over G=capw/128 groups; slots
-    #   d < rs-base are masked in-kernel.
+    #   d < rs-base are masked in-kernel. Kept for the distributed layer,
+    #   whose shard re-padding edge-extends win_map along the slot axis
+    #   (monotone for aligned maps, wrong for wrapped ones).
     span = tile_ptr[1:] - tile_ptr[:-1]  # rows spanned (excl. carry row)
-    win_rel = bool(int(span.max()) + 1 <= 128) and win_mode != "aligned"
+    win_rel = win_mode != "aligned"
     rs = tile_ptr[:-1][:, None]  # (p,1)
     if win_rel:
-        capw = 128
+        capw = -(-(int(span.max()) + 1) // 128) * 128
         off = rs & 127
         d = np.arange(capw)[None, :]
-        ridx = np.minimum((rs - off) + d + np.where(d < off, 128, 0) + 1, m)
+        ridx = np.minimum((rs - off) + d + np.where(d < off, capw, 0) + 1, m)
     else:
         capw = _pow2_at_least(int(span.max()) + 1 + 128, 128)
         d = np.arange(capw)[None, :]
@@ -446,7 +450,9 @@ def build_csr5(
         tail_row_start=tail_row_start,
         capw=capw,
         pmax=pmax,
-        m_pad=_pow2_at_least(m + capw, 1024),
+        # +128 headroom: the wrapped-mode kernel writes capw/128+1 y rows
+        # starting at the block of a tile's first row
+        m_pad=_pow2_at_least(m + capw + 128, 1024),
         n_pad=n_pad,
     )
 

@@ -265,67 +265,62 @@ def _spmv_kernel(
     #: static row slices of the (sigma, .) prod scratch per decode group
     _grows = [pl.ds(0, sigma)] if not packed else [pl.ds(0, s2), pl.ds(s2, s2)]
 
-    if (contig or pmax <= MAX_UNROLL_PAGES) and R == 1:
-        # single-rhs fast path: accumulate in registers (no scratch RMW)
+    if contig or pmax <= MAX_UNROLL_PAGES:
+        # tiers 0/1 (static unroll): every element matches EXACTLY ONE
+        # page of the tile's list (tier 0: the contiguous span covers all
+        # columns; tier 1: the list is the tile's distinct pages), so the
+        # gather is a pure select CHAIN seeded with page 0's gather — no
+        # masked accumulate, no scratch RMW, and mismatched seeds are
+        # killed by val==0 on padded elements. Masks are shared across
+        # rhs; each rhs's chain lives in one register.
         for b in range(B):
             groups = _decode(b)
             val = val_ref[pl.ds(b * sigma, sigma), :].astype(jnp.float32)
-            accs = [jnp.zeros(lane.shape, jnp.float32) for lane, _ in groups]
             if contig:
                 # tier 0: pages are the consecutive range
-                # [first, first+pmax): ONE (pmax,128) slab load replaces
-                # pmax scalar-indexed row loads
-                first = meta_ref[b, META_HDR]
-                slab = x_ref[pl.ds(first, pmax), :]
-            for k in range(pmax):
-                if contig:
-                    xrow = slab[k : k + 1, :]
-                    mv = k if packed else first + k
-                else:
-                    # tier 1: static masked unroll (fully pipelined)
-                    pid = meta_ref[b, META_HDR + k]
-                    xrow = x_ref[pl.ds(pid, 1), :]
-                    mv = k if packed else pid
-                for gi, (lane, key) in enumerate(groups):
-                    g = jnp.take_along_axis(
-                        jnp.broadcast_to(xrow, lane.shape), lane, axis=1
-                    )
-                    accs[gi] = accs[gi] + jnp.where(key == mv, g, 0.0)
-            xg = accs[0] if len(accs) == 1 else jnp.concatenate(accs, axis=0)
-            prod_ref[:, _sl(b, 0)] = val * xg
-    elif contig or pmax <= MAX_UNROLL_PAGES:
-        # multi-rhs: the column decode and page-match masks are shared
-        # across rhs; per-rhs gathers accumulate into the prod scratch
-        prod_ref[:] = jnp.zeros_like(prod_ref)
-        for b in range(B):
-            groups = _decode(b)
-            if contig:
+                # [first, first+pmax): ONE (pmax,128) slab load per rhs
+                # replaces pmax scalar-indexed row loads
                 first = meta_ref[b, META_HDR]
                 slabs = [
-                    x_ref[pl.ds(r * nx_rows + first, pmax), :] for r in range(R)
+                    x_ref[pl.ds(r * nx_rows + first, pmax), :]
+                    for r in range(R)
                 ]
-            for k in range(pmax):
-                if contig:
-                    mv = k if packed else first + k
-                else:
-                    pid = meta_ref[b, META_HDR + k]
-                    mv = k if packed else pid
-                masks = [key == mv for _, key in groups]
-                for r in range(R):
-                    xrow = (
-                        slabs[r][k : k + 1, :]
+                pids = None
+            else:
+                pids = [meta_ref[b, META_HDR + k] for k in range(pmax)]
+            masks = None
+            if pmax > 1:
+                masks = [
+                    [
+                        key == (k if packed else (first + k if contig else pids[k]))
+                        for _, key in groups
+                    ]
+                    for k in range(1, pmax)
+                ]
+            for r in range(R):
+                accs = []
+                for gi, (lane, key) in enumerate(groups):
+                    xrow0 = (
+                        slabs[r][0:1, :]
                         if contig
-                        else x_ref[pl.ds(r * nx_rows + pid, 1), :]
+                        else x_ref[pl.ds(r * nx_rows + pids[0], 1), :]
                     )
-                    for (lane, _), mask, rsl in zip(groups, masks, _grows):
+                    xg = jnp.take_along_axis(
+                        jnp.broadcast_to(xrow0, lane.shape), lane, axis=1
+                    )
+                    for k in range(1, pmax):
+                        xrow = (
+                            slabs[r][k : k + 1, :]
+                            if contig
+                            else x_ref[pl.ds(r * nx_rows + pids[k], 1), :]
+                        )
                         g = jnp.take_along_axis(
                             jnp.broadcast_to(xrow, lane.shape), lane, axis=1
                         )
-                        prod_ref[rsl, _sl(b, r)] += jnp.where(mask, g, 0.0)
-        for b in range(B):
-            val = val_ref[pl.ds(b * sigma, sigma), :].astype(jnp.float32)
-            for r in range(R):
-                prod_ref[:, _sl(b, r)] = prod_ref[:, _sl(b, r)] * val
+                        xg = jnp.where(masks[k - 1][gi], g, xg)
+                    accs.append(xg)
+                xg = accs[0] if len(accs) == 1 else jnp.concatenate(accs, axis=0)
+                prod_ref[:, _sl(b, r)] = val * xg
     else:
         # tier 2 (scattered): ONE block-level fori over the max live page
         # count; each iteration advances all B tiles' (x R rhs) gathers —
@@ -413,18 +408,31 @@ def _spmv_kernel(
 
             if win_rel:
                 # wrapped mode: slot d = row base+d (d >= a_off) or
-                # base+128+d (d < a_off), so lanes already line up with y.
-                # The wrap seam slot127->slot0 is consecutive rows, so a
-                # STATIC roll(1) gives every slot's predecessor; only the
-                # tile's first row (slot a_off) resets to zero.
-                lanes = _lane_iota(W_end.shape)
-                W_prev = jnp.where(
-                    lanes == a_off, 0.0, pltpu.roll(W_end, 1, axis=1)
+                # base+G*128+d (d < a_off), so lanes already line up with
+                # y. The wrap seam last-slot->slot0 is consecutive rows,
+                # so a STATIC roll(1) in flat slot order gives every
+                # slot's predecessor; only the tile's first row (flat
+                # slot a_off, always inside group 0) resets to zero.
+                rolled = pltpu.roll(W_end, 1, axis=1)
+                if G > 1:
+                    down = pltpu.roll(W_end, 1, axis=0)
+                    W_prev = jnp.where(
+                        _lane_iota(W_end.shape) == 0,
+                        pltpu.roll(down, 1, axis=1),
+                        rolled,
+                    )
+                else:
+                    W_prev = rolled
+                d_idx = (
+                    _sub_iota(W_end.shape) * LANES + _lane_iota(W_end.shape)
                 )
+                W_prev = jnp.where(d_idx == a_off, 0.0, W_prev)
                 W2 = W_end - W_prev
-                hi = jnp.where(lanes >= a_off, W2, 0.0)
-                V = jnp.concatenate([hi, W2 - hi], axis=0)
-                y_ref[pl.ds(r * my_rows + by, 2), :] += V
+                first = W2[0:1]
+                hi0 = jnp.where(_lane_iota((1, LANES)) >= a_off, first, 0.0)
+                parts = [hi0] + ([W2[1:]] if G > 1 else []) + [first - hi0]
+                V = jnp.concatenate(parts, axis=0)  # (G+1, 128)
+                y_ref[pl.ds(r * my_rows + by, G + 1), :] += V
                 continue
 
             # aligned mode: W_prev[d] = W_end[d-1] across the flattened

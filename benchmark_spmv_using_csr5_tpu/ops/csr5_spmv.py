@@ -57,11 +57,11 @@ def csr5_spmv_xla(a5: CSR5Matrix, x: jax.Array, alpha=1.0) -> jax.Array:
     a = (rs - base)[:, None]  # (p, 1)
     d = jnp.arange(a5.capw)[None, :]
     if a5.win_rel:
-        # wrapped 128-slot maps (ops/convert.py): slot d = row base+d for
-        # d >= rs%128, else base+128+d; the wrap seam is consecutive rows
+        # wrapped maps (ops/convert.py): slot d = row base+d for
+        # d >= rs%128, else base+capw+d; the wrap seam is consecutive rows
         W_prev = jnp.where(d == a, 0.0, jnp.roll(W_end, 1, axis=1))
         W2 = W_end - W_prev
-        rows = base[:, None] + d + jnp.where(d < a, 128, 0)
+        rows = base[:, None] + d + jnp.where(d < a, a5.capw, 0)
     else:
         # aligned maps: mask slots before the tile's first row
         W_prev = jnp.concatenate(

@@ -143,7 +143,7 @@ def test_window_maps_monotone():
             # monotone in ROW order, i.e. after rotating each tile's slots
             # so the tile's first row comes first
             off = np.asarray(a5.tile_ptr[:-1]) & 127
-            idx = (np.arange(128)[None, :] + off[:, None]) % 128
+            idx = (np.arange(a5.capw)[None, :] + off[:, None]) % a5.capw
             we = np.take_along_axis(we, idx, axis=1)
         assert (np.diff(we, axis=1) >= 0).all(), name
         assert we.min() >= 0 and we.max() < a5.config.tile_nnz, name
