@@ -262,9 +262,6 @@ def _spmv_kernel(
             (srl(c, 16) & (LANES - 1), srl(c, 23)),
         ]
 
-    #: static row slices of the (sigma, .) prod scratch per decode group
-    _grows = [pl.ds(0, sigma)] if not packed else [pl.ds(0, s2), pl.ds(s2, s2)]
-
     if contig or pmax <= MAX_UNROLL_PAGES:
         # tiers 0/1 (static unroll): every element matches EXACTLY ONE
         # page of the tile's list (tier 0: the contiguous span covers all
@@ -324,14 +321,18 @@ def _spmv_kernel(
     else:
         # tier 2 (scattered): ONE block-level fori over the max live page
         # count; each iteration advances all B tiles' (x R rhs) gathers —
-        # independent latency chains — accumulating into the prod scratch.
-        # Shorter page lists read sentinel slots that match nothing.
-        prod_ref[:] = jnp.zeros_like(prod_ref)
+        # independent latency chains — as register select CHAINS carried
+        # through the loop (every element matches exactly one list entry;
+        # pads stay at the zero seed and are killed by val==0). Shorter
+        # page lists read sentinel slots that match nothing.
         cnt_max = meta_ref[0, 1]
         for b in range(1, B):
             cnt_max = jnp.maximum(cnt_max, meta_ref[b, 1])
 
-        def body(k, carry):
+        ngr = 2 if packed else 1
+
+        def body(k, xgs):
+            out = list(xgs)
             for b in range(B):
                 groups = _decode(b)
                 pid = meta_ref[b, META_HDR + k]
@@ -339,18 +340,25 @@ def _spmv_kernel(
                 masks = [key == mv for _, key in groups]
                 for r in range(R):
                     xrow = x_ref[pl.ds(r * nx_rows + pid, 1), :]
-                    for (lane, _), mask, rsl in zip(groups, masks, _grows):
+                    for gi, ((lane, _), mask) in enumerate(zip(groups, masks)):
                         g = jnp.take_along_axis(
                             jnp.broadcast_to(xrow, lane.shape), lane, axis=1
                         )
-                        prod_ref[rsl, _sl(b, r)] += jnp.where(mask, g, 0.0)
-            return carry
+                        idx = (b * R + r) * ngr + gi
+                        out[idx] = jnp.where(mask, g, out[idx])
+            return tuple(out)
 
-        jax.lax.fori_loop(0, cnt_max, body, 0)
+        gshape = (s2, LANES) if packed else (sigma, LANES)
+        init = tuple(
+            jnp.zeros(gshape, jnp.float32) for _ in range(B * R * ngr)
+        )
+        xgs = jax.lax.fori_loop(0, cnt_max, body, init)
         for b in range(B):
             val = val_ref[pl.ds(b * sigma, sigma), :].astype(jnp.float32)
             for r in range(R):
-                prod_ref[:, _sl(b, r)] = prod_ref[:, _sl(b, r)] * val
+                parts = [xgs[(b * R + r) * ngr + gi] for gi in range(ngr)]
+                xg = parts[0] if ngr == 1 else jnp.concatenate(parts, axis=0)
+                prod_ref[:, _sl(b, r)] = val * xg
 
     # ---- batched MXU prefix scans over the whole block -------------------
     # one (sigma,sigma)@(sigma,R*B*128) matmul replaces R*B tiny per-tile
