@@ -53,6 +53,49 @@ def main():
                     file=sys.stderr,
                 )
 
+    # DIA format extra (structured fast path; the headline metric above
+    # stays the CSR5 kernel): tridiagonal-class matrix where the static
+    # shift network shines
+    dia_extra = {}
+    try:
+        import jax.numpy as jnp
+        import scipy.sparse as sp
+
+        from benchmark_spmv_using_csr5_tpu.ops.dia import build_dia, dia_spmv
+        from benchmark_spmv_using_csr5_tpu.bench.harness import (
+            time_spmv_device_loop,
+        )
+        from benchmark_spmv_using_csr5_tpu.utils.perf import get_bytes
+
+        a = sp.csr_matrix(synth.banded(500_000, 3, dtype=np.float32))
+        d = build_dia((a.indptr, a.indices, a.data, a.shape))
+        rng = np.random.default_rng(0)
+        x = rng.integers(1, 10, a.shape[1]).astype(np.float32)
+        xd = jnp.asarray(x)
+        y = np.asarray(dia_spmv(d, xd))
+        y_ref = a @ x
+        rel = float(
+            (np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-30)).max()
+        )
+        ms = time_spmv_device_loop(
+            lambda d_, x_: dia_spmv(d_, x_), xd, 400, operands=d
+        )
+        gb = get_bytes(a.shape[0], a.nnz, 4, 4) / 1e9
+        dia_extra = {
+            "spmv_ms": round(ms, 4),
+            "pct_roofline": round(gb / (ms * 1e-3) / 8.19, 2),
+            "gflops": round(2 * a.nnz / (ms * 1e-3) / 1e9, 2),
+            "check_ok": rel <= 0.01,
+            "backend": "dia_pallas",
+        }
+        print(
+            f"[dia_tridiag500k] {ms:.4f} ms, {dia_extra['pct_roofline']}% "
+            f"of HBM roofline (reference byte model), maxrel={rel:.1e}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[dia_tridiag500k] failed: {e}", file=sys.stderr)
+
     if "banded500k" not in results:
         print(
             json.dumps(
@@ -76,15 +119,19 @@ def main():
         "vs_baseline": round(primary.pct_of_roofline / 80.0, 4),
         "gflops": round(primary.gflops, 2),
         "gnnz_per_s": round(primary.nnz_per_sec / 1e9, 3),
-        "check": all(r.check_ok for r in results.values()),
+        "check": all(r.check_ok for r in results.values())
+        and dia_extra.get("check_ok", True),
         "extras": {
-            k: {
-                "gflops": round(r.gflops, 2),
-                "pct_roofline": round(r.pct_of_roofline, 2),
-                "spmv_ms": round(r.spmv_ms, 4),
-                "backend": r.backend,
-            }
-            for k, r in results.items()
+            **{
+                k: {
+                    "gflops": round(r.gflops, 2),
+                    "pct_roofline": round(r.pct_of_roofline, 2),
+                    "spmv_ms": round(r.spmv_ms, 4),
+                    "backend": r.backend,
+                }
+                for k, r in results.items()
+            },
+            **({"dia_tridiag500k": dia_extra} if dia_extra else {}),
         },
     }
     print(json.dumps(out))

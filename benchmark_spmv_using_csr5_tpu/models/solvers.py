@@ -139,3 +139,85 @@ def pagerank(
         return r / jnp.maximum(jnp.sum(r), 1e-30)
 
     return jax.lax.fori_loop(0, iters, body, r)
+
+
+@partial(jax.jit, static_argnames=("spmv", "restart", "outer_iters"))
+def gmres(
+    spmv: SpMV, b: jax.Array, restart: int = 20, outer_iters: int = 5
+) -> Tuple[jax.Array, jax.Array]:
+    """Restarted GMRES(m) for general square A.
+
+    Arnoldi with modified Gram-Schmidt inside ``fori_loop`` (the
+    orthogonalisation loop is masked to the current column, keeping the
+    trace static), then the small (m+1, m) least-squares solve on
+    device. Returns (x, final residual norm).
+    """
+    m = restart
+    n = b.shape[0]
+
+    def cycle(_, x):
+        r = b - spmv(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), b.dtype)
+        V = V.at[0].set(r / jnp.where(beta > 1e-30, beta, 1.0))
+        H = jnp.zeros((m + 1, m), b.dtype)
+
+        def arnoldi(j, VH):
+            V, H = VH
+            w = spmv(V[j])
+
+            def mgs(i, wH):
+                w, H = wH
+                hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
+                return w - hij * V[i], H.at[i, j].set(hij)
+
+            w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
+            hn = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].add(hn - H[j + 1, j])
+            V = V.at[j + 1].set(w / jnp.where(hn > 1e-30, hn, 1.0))
+            return V, H
+
+        V, H = jax.lax.fori_loop(0, m, arnoldi, (V, H))
+        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+        y = jnp.linalg.lstsq(H, e1)[0]
+        return x + V[:m].T @ y
+
+    x = jax.lax.fori_loop(0, outer_iters, cycle, jnp.zeros_like(b))
+    return x, jnp.linalg.norm(b - spmv(x))
+
+
+@partial(jax.jit, static_argnames=("spmv", "iters"))
+def lanczos(
+    spmv: SpMV, v0: jax.Array, iters: int = 30
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Symmetric Lanczos tridiagonalisation (no reorthogonalisation).
+
+    Returns (alphas, betas, eigvals of the tridiagonal T) — the extremal
+    eigenvalues of T approximate A's spectrum edges (condition-number
+    estimation for the CG/IR solvers).
+    """
+    v = v0 / jnp.linalg.norm(v0)
+    init = (
+        jnp.zeros_like(v),
+        v,
+        jnp.asarray(0.0, v.dtype),
+        jnp.zeros(iters, v.dtype),
+        jnp.zeros(iters, v.dtype),
+    )
+
+    def body(j, st):
+        v_prev, v, beta_prev, al, be = st
+        w = spmv(v) - beta_prev * v_prev
+        alpha = jnp.vdot(v, w)
+        w = w - alpha * v
+        beta = jnp.linalg.norm(w)
+        v_next = w / jnp.where(beta > 1e-30, beta, 1.0)
+        return v, v_next, beta, al.at[j].set(alpha), be.at[j].set(beta)
+
+    _, _, _, al, be = jax.lax.fori_loop(0, iters, body, init)
+    T = (
+        jnp.diag(al)
+        + jnp.diag(be[:-1], 1)
+        + jnp.diag(be[:-1], -1)
+    )
+    return al, be, jnp.linalg.eigvalsh(T)

@@ -1,0 +1,224 @@
+"""DIA (diagonal) format: the structured-matrix fast path.
+
+The reference declares a second format slot it never implements
+(``ANONYMOUSLIB_FORMAT_HYB5``, CSR5_cuda/detail/common.h:21); this module
+fills that "format expansion" slot TPU-natively. For matrices whose
+nonzeros concentrate on few diagonals (banded systems — the structured
+half of the SpMV benchmark space), DIA streams ONLY the value planes
+(4 B/nnz f32, vs 8 for CSR5's val+col) and replaces the x gather with
+*static* diagonal shifts: each diagonal offset is a compile-time
+constant, so x alignment is two row-slab loads plus a static lane roll
+pair — no per-element column decode at all.
+
+y is a normal pipelined Pallas output (each row block is written exactly
+once, so the sequential-grid scratch trick of the CSR5 kernel is not
+needed).
+
+Use :func:`dia_supported` / :func:`build_dia` to gate: matrices with more
+than ``max_diags`` distinct diagonals or a sparse diagonal fill ratio
+convert to ``None`` (DIA would waste bandwidth on stored zeros; CSR5
+stays the general path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+#: hard cap on stored diagonals (VPU work per output row scales with it)
+MAX_DIAGS = 96
+#: minimum nnz / (ndiag * m) so stored zeros don't dominate the stream
+MIN_FILL = 0.2
+#: output rows per grid step (swept on TPU: 16384 is 30% faster than
+#: 4096 for few-diagonal matrices, equal for 27-diag; NOTES.md)
+CHUNK_ROWS = 16384
+_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+@struct.dataclass
+class DIAMatrix:
+    """Diagonal-storage sparse matrix: data[k, i] = A[i, i + offsets[k]].
+
+    ``data`` rows are zero-filled where a diagonal leaves the matrix.
+    ``offsets`` is a static (hashable) tuple so the Pallas kernel
+    specializes its shift network per sparsity pattern — the TPU analogue
+    of the reference's per-sigma kernel specialization.
+    """
+
+    shape: Tuple[int, int] = struct.field(pytree_node=False)
+    offsets: Tuple[int, ...] = struct.field(pytree_node=False)
+    nnz_stored: int = struct.field(pytree_node=False)
+    data: jax.Array  # (ndiag, m_pad) float
+    m_pad: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def m(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.shape[1]
+
+    @property
+    def ndiag(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+
+def _as_host(csr):
+    if isinstance(csr, tuple):
+        row_ptr, col_idx, values, shape = csr
+    elif hasattr(csr, "indptr"):
+        row_ptr, col_idx, values, shape = csr.indptr, csr.indices, csr.data, csr.shape
+    else:
+        row_ptr, col_idx, values, shape = csr.row_ptr, csr.col_idx, csr.values, csr.shape
+    return (
+        np.asarray(row_ptr, np.int64),
+        np.asarray(col_idx, np.int64),
+        np.asarray(values),
+        tuple(shape),
+    )
+
+
+def build_dia(
+    csr,
+    max_diags: int = MAX_DIAGS,
+    min_fill: float = MIN_FILL,
+    value_dtype=None,
+) -> Optional[DIAMatrix]:
+    """CSR -> DIA, or None when the matrix is not diagonal-structured.
+
+    Host-side vectorised numpy, like :func:`build_csr5` (one-time
+    preprocessing). Duplicate (row, col) entries are summed, matching the
+    oracle semantics of repeated-coordinate Matrix Market files.
+    """
+    row_ptr, col_idx, values, (m, n) = _as_host(csr)
+    nnz = int(values.shape[0])
+    if nnz == 0:
+        return None
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(row_ptr))
+    off = col_idx - rows
+    uniq, inv = np.unique(off, return_inverse=True)
+    if len(uniq) > max_diags or nnz < min_fill * len(uniq) * m:
+        return None
+    m_pad = -(-m // CHUNK_ROWS) * CHUNK_ROWS
+    data = np.zeros((len(uniq), m_pad), values.dtype)
+    # np.add.at sums duplicates (scipy .dia_matrix parity)
+    np.add.at(data, (inv, rows), values)
+    d = jnp.asarray(data)
+    if value_dtype is not None:
+        d = d.astype(value_dtype)
+    return DIAMatrix(
+        shape=(m, n),
+        offsets=tuple(int(o) for o in uniq),
+        nnz_stored=nnz,
+        data=d,
+        m_pad=m_pad,
+    )
+
+
+def dia_supported(dia: Optional[DIAMatrix]) -> bool:
+    if dia is None:
+        return False
+    if dia.data.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    pad_l = -(-max(0, -min(dia.offsets)) // LANES) * LANES
+    x_rows = pad_l // LANES + -(-dia.n // LANES) + -(-max(0, max(dia.offsets) + CHUNK_ROWS) // LANES)
+    blk = 2 * dia.ndiag * CHUNK_ROWS * dia.data.dtype.itemsize
+    return x_rows * LANES * 4 + blk + 2 * CHUNK_ROWS * 4 <= _VMEM_BUDGET
+
+
+def _dia_kernel(val_ref, x_ref, o_ref, *, offsets, pad_l, C):
+    """One grid step computes rows [i*C, (i+1)*C).
+
+    val_ref: (ndiag, C//LANES, LANES) value block of this chunk
+    x_ref:   (x_rows, LANES) whole padded x in VMEM (leading pad_l zeros)
+    o_ref:   (C//LANES, LANES) output block
+    """
+    i = pl.program_id(0)
+    R = C // LANES
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    acc = jnp.zeros((R, LANES), jnp.float32)
+    for k, off in enumerate(offsets):
+        s = off + pad_l  # >= 0 by construction
+        q, sh = divmod(s, LANES)
+        base = i * R + q
+        if sh == 0:
+            xs = x_ref[pl.ds(base, R), :]
+        else:
+            a = x_ref[pl.ds(base, R), :]
+            b = x_ref[pl.ds(base + 1, R), :]
+            xs = jnp.where(
+                lanes < LANES - sh,
+                pltpu.roll(a, LANES - sh, axis=1),
+                pltpu.roll(b, LANES - sh, axis=1),
+            )
+        acc = acc + val_ref[k].astype(jnp.float32) * xs
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _dia_spmv_jit(dia: DIAMatrix, x, alpha, interpret: bool):
+    m, n = dia.shape
+    m_pad = dia.m_pad
+    C = CHUNK_ROWS
+    nd = dia.ndiag
+    pad_l = -(-max(0, -min(dia.offsets)) // LANES) * LANES
+    # past pad_l, x storage must fit all n real elements AND the highest
+    # index any diagonal reads ((m_pad-1)+max_off), plus one slab row for
+    # the unaligned b-load
+    pad_r_elems = max(n, m_pad + max(max(dia.offsets), 0)) + LANES
+    x_rows = pad_l // LANES + -(-pad_r_elems // LANES)
+    xp = jnp.zeros(x_rows * LANES, jnp.float32)
+    xv = x.astype(jnp.float32) * jnp.asarray(alpha, jnp.float32)
+    xp = jax.lax.dynamic_update_slice(xp, xv, (pad_l,))
+    x2d = xp.reshape(x_rows, LANES)
+
+    data3 = dia.data.reshape(nd, m_pad // LANES, LANES)
+    kernel = functools.partial(
+        _dia_kernel, offsets=dia.offsets, pad_l=pad_l, C=C
+    )
+    y2d = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m_pad // LANES, LANES), jnp.float32),
+        grid=(m_pad // C,),
+        in_specs=[
+            pl.BlockSpec(
+                (nd, C // LANES, LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole
+        ],
+        out_specs=pl.BlockSpec(
+            (C // LANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * m_pad,
+            bytes_accessed=nd * m_pad * dia.data.dtype.itemsize + (m + n) * 4,
+            transcendentals=0,
+        ),
+    )(data3, x2d)
+    return y2d.reshape(-1)[:m].astype(x.dtype)
+
+
+def dia_spmv(
+    dia: DIAMatrix, x: jax.Array, alpha=1.0, interpret: bool = False
+) -> jax.Array:
+    """y = alpha * A @ x via the DIA Pallas kernel (static shift network)."""
+    return _dia_spmv_jit(dia, x, alpha, interpret)

@@ -1,0 +1,82 @@
+"""DIA (diagonal) format tests: conversion, gating, kernel vs scipy.
+
+The DIA path is the framework's structured-matrix format expansion
+(the reference declares but never implements a second format,
+ANONYMOUSLIB_FORMAT_HYB5, CSR5_cuda/detail/common.h:21).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from benchmark_spmv_using_csr5_tpu import build_dia, dia_spmv, dia_supported
+from benchmark_spmv_using_csr5_tpu.utils import synth
+
+
+def _host(a_sp):
+    a = sp.csr_matrix(a_sp)
+    return (a.indptr, a.indices, a.data, a.shape)
+
+
+def test_dia_build_matches_scipy_dia():
+    a = sp.csr_matrix(synth.banded(700, 9, dtype=np.float32))
+    d = build_dia(_host(a))
+    assert d is not None
+    ad = a.todia()
+    assert sorted(d.offsets) == sorted(int(o) for o in ad.offsets)
+    # data[k, i] = A[i, i+off] (scipy stores data[k, j] = A[j-off, j])
+    dense = a.toarray()
+    data = np.asarray(d.data)
+    for k, off in enumerate(d.offsets):
+        for i in range(a.shape[0]):
+            j = i + off
+            expect = dense[i, j] if 0 <= j < a.shape[1] else 0.0
+            assert data[k, i] == expect, (k, off, i)
+
+
+@pytest.mark.parametrize("diags,alpha", [(3, 1.0), (27, -1.75)])
+def test_dia_spmv_vs_scipy(diags, alpha):
+    a = sp.csr_matrix(synth.banded(5000, diags, dtype=np.float32))
+    d = build_dia(_host(a))
+    assert d is not None and dia_supported(d)
+    x = synth.dense_x(a.shape[1], dtype=np.float32)
+    y = np.asarray(dia_spmv(d, x, alpha=alpha, interpret=True))
+    y_ref = alpha * (a @ x)
+    np.testing.assert_allclose(
+        y, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max())
+    )
+
+
+def test_dia_duplicate_entries_summed():
+    # repeated (row, col) coordinates sum, like the CSR oracle
+    rows = np.array([0, 0, 1, 2])
+    cols = np.array([1, 1, 2, 3])
+    vals = np.array([1.0, 2.0, 5.0, 7.0], np.float32)
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(4, 4))
+    acsr = a.tocsr()  # scipy sums on conversion
+    # build from the raw duplicate COO->CSR (keep duplicates)
+    ptr = np.array([0, 2, 3, 4, 4])
+    d = build_dia((ptr, cols, vals, (4, 4)))
+    assert d is not None
+    x = np.arange(1, 5, dtype=np.float32)
+    y = np.asarray(dia_spmv(d, x, interpret=True))
+    np.testing.assert_allclose(y, acsr @ x, atol=1e-6)
+
+
+def test_dia_gates_unstructured():
+    r = sp.random(500, 500, 0.01, format="csr", dtype=np.float32, random_state=3)
+    assert build_dia((r.indptr, r.indices, r.data, r.shape)) is None
+    # empty matrix
+    e = sp.csr_matrix((4, 4), dtype=np.float32)
+    assert build_dia((e.indptr, e.indices, e.data, e.shape)) is None
+
+
+def test_dia_rectangular():
+    a = sp.diags(
+        [np.ones(300, np.float32)], [40], shape=(300, 400), format="csr"
+    )
+    d = build_dia((a.indptr, a.indices, a.data, a.shape))
+    assert d is not None
+    x = synth.dense_x(400, dtype=np.float32)
+    y = np.asarray(dia_spmv(d, x, interpret=True))
+    np.testing.assert_allclose(y, a @ x, atol=1e-5)

@@ -90,3 +90,39 @@ def test_pagerank_sums_to_one():
     assert pr.shape == (m,)
     np.testing.assert_allclose(pr.sum(), 1.0, atol=1e-4)
     assert (pr >= 0).all()
+
+
+def test_gmres_nonsymmetric():
+    # GMRES on a diagonally dominant nonsymmetric matrix
+    rng = np.random.default_rng(7)
+    m = 200
+    a_sp = sp.csr_matrix(
+        sp.diags(
+            [rng.uniform(4, 5, m), rng.uniform(-1, 1, m - 1), rng.uniform(-1, 1, m - 3)],
+            [0, 1, -3],
+        )
+    ).astype(np.float32)
+    a5 = build_csr5(csr_from_scipy(a_sp))
+    b = rng.uniform(-1, 1, m).astype(np.float32)
+    spmv = lambda v: csr5_spmv_xla(a5, v)  # noqa: E731
+    x, res = solvers.gmres(spmv, b, restart=25, outer_iters=4)
+    x = np.asarray(x)
+    assert float(res) < 1e-3
+    np.testing.assert_allclose(a_sp @ x, b, atol=1e-3)
+
+
+def test_lanczos_extremal_eigs():
+    import jax.numpy as jnp
+
+    # SPD tridiagonal with known spectrum ~ [2-2cos(pi k/(m+1))] * scale
+    m = 150
+    a_sp = sp.csr_matrix(
+        sp.diags([2 * np.ones(m), -np.ones(m - 1), -np.ones(m - 1)], [0, 1, -1])
+    ).astype(np.float32)
+    a5 = build_csr5(csr_from_scipy(a_sp))
+    spmv = lambda v: csr5_spmv_xla(a5, v)  # noqa: E731
+    v0 = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, m).astype(np.float32))
+    _, _, evals = solvers.lanczos(spmv, v0, iters=40)
+    lam_max_true = 2 - 2 * np.cos(np.pi * m / (m + 1))
+    # Lanczos converges to extremal eigenvalues first
+    assert abs(float(evals[-1]) - lam_max_true) < 0.01 * lam_max_true
