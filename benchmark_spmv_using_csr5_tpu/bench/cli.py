@@ -60,6 +60,13 @@ def main(argv=None):
         help="benchmark SpMM with K right-hand sides instead of SpMV",
     )
     ap.add_argument(
+        "--format",
+        default="csr5",
+        choices=["csr5", "dia"],
+        help="storage format: csr5 (general) or dia (diagonal-structured "
+        "matrices; streams no column indices)",
+    )
+    ap.add_argument(
         "--reorder",
         choices=["none", "rcm"],
         default="none",
@@ -82,6 +89,8 @@ def main(argv=None):
         )
         rp, ci, v = a_perm.indptr, a_perm.indices, a_perm.data
         name = f"{name}+{args.reorder}"
+    if args.format == "dia":
+        return _run_dia(args, name, rp, ci, v, shape)
     res = run_benchmark(
         name,
         rp,
@@ -95,6 +104,49 @@ def main(argv=None):
     )
     print(res.report())
     return 0 if res.check_ok else 1
+
+
+def _run_dia(args, name, rp, ci, v, shape):
+    """DIA-format benchmark path (same report shape as the CSR5 one)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from ..ops.dia import build_dia, dia_spmm, dia_spmv
+    from ..utils import perf
+    from .harness import time_spmv_device_loop
+
+    d = build_dia((rp, ci, v, shape))
+    if d is None:
+        raise SystemExit(
+            "matrix is not diagonal-structured; use --format csr5"
+        )
+    m, n = shape
+    rng = np.random.default_rng(0)
+    x = rng.integers(
+        1, 10, (n, args.spmm) if args.spmm > 1 else n
+    ).astype(v.dtype)
+    y_ref = sp.csr_matrix((v, ci, rp), shape=shape) @ x
+    fn = dia_spmm if args.spmm > 1 else dia_spmv
+    xd = jnp.asarray(x)
+    y = np.asarray(fn(d, xd))
+    maxrel = float(
+        (np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-30)).max()
+    )
+    ms = time_spmv_device_loop(
+        lambda d_, x_: fn(d_, x_), xd, args.num_run, operands=d
+    )
+    met = perf.spmv_metrics(
+        m, len(v), ms, v.dtype.itemsize, num_rhs=args.spmm, n=n
+    )
+    ok = maxrel <= 0.01
+    print(
+        f"[{name}] ({m}, {n}) nnz = {len(v)}, ndiag = {d.ndiag}\n"
+        f"DIA-based SpMV time = {ms:.4f} ms, {met.gbps:.2f} GB/s, "
+        f"{met.gflops:.2f} GFlops, {met.pct_of_roofline:.1f}% of HBM "
+        f"roofline (CSR byte model) [dia]\n"
+        f"Check... {'PASS!' if ok else 'NOT PASS!'} (max rel err {maxrel:.2e})"
+    )
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

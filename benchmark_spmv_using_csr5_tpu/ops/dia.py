@@ -222,3 +222,93 @@ def dia_spmv(
 ) -> jax.Array:
     """y = alpha * A @ x via the DIA Pallas kernel (static shift network)."""
     return _dia_spmv_jit(dia, x, alpha, interpret)
+
+
+def _dia_spmm_kernel(
+    val_ref, x_ref, o_ref, *, offsets, pad_l, C, R, x_rows
+):
+    """Multi-rhs variant: the value block is streamed once and re-used
+    across all R right-hand sides (same economics as csr5_spmm)."""
+    i = pl.program_id(0)
+    Rb = C // LANES
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (Rb, LANES), 1)
+    accs = [jnp.zeros((Rb, LANES), jnp.float32) for _ in range(R)]
+    for k, off in enumerate(offsets):
+        s = off + pad_l
+        q, sh = divmod(s, LANES)
+        v = val_ref[k].astype(jnp.float32)
+        for r in range(R):
+            base = r * x_rows + i * Rb + q
+            if sh == 0:
+                xs = x_ref[pl.ds(base, Rb), :]
+            else:
+                a = x_ref[pl.ds(base, Rb), :]
+                b = x_ref[pl.ds(base + 1, Rb), :]
+                xs = jnp.where(
+                    lanes < LANES - sh,
+                    pltpu.roll(a, LANES - sh, axis=1),
+                    pltpu.roll(b, LANES - sh, axis=1),
+                )
+            accs[r] = accs[r] + v * xs
+    for r in range(R):
+        o_ref[r] = accs[r]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _dia_spmm_jit(dia: DIAMatrix, xm, alpha, interpret: bool):
+    m, n = dia.shape
+    m_pad = dia.m_pad
+    C = CHUNK_ROWS
+    nd = dia.ndiag
+    R = xm.shape[1]
+    pad_l = -(-max(0, -min(dia.offsets)) // LANES) * LANES
+    pad_r_elems = max(n, m_pad + max(max(dia.offsets), 0)) + LANES
+    x_rows = pad_l // LANES + -(-pad_r_elems // LANES)
+    xt = xm.T.astype(jnp.float32) * jnp.asarray(alpha, jnp.float32)
+    xp = jnp.zeros((R, x_rows * LANES), jnp.float32)
+    xp = jax.lax.dynamic_update_slice(xp, xt, (0, pad_l))
+    x2d = xp.reshape(R * x_rows, LANES)
+
+    data3 = dia.data.reshape(nd, m_pad // LANES, LANES)
+    kernel = functools.partial(
+        _dia_spmm_kernel, offsets=dia.offsets, pad_l=pad_l, C=C, R=R,
+        x_rows=x_rows,
+    )
+    y3d = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (R, m_pad // LANES, LANES), jnp.float32
+        ),
+        grid=(m_pad // C,),
+        in_specs=[
+            pl.BlockSpec(
+                (nd, C // LANES, LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole (R stacked)
+        ],
+        out_specs=pl.BlockSpec(
+            (R, C // LANES, LANES), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * m_pad * R,
+            bytes_accessed=nd * m_pad * dia.data.dtype.itemsize
+            + R * (m + n) * 4,
+            transcendentals=0,
+        ),
+    )(data3, x2d)
+    ym = y3d.reshape(R, m_pad)[:, :m]
+    return ym.T.astype(xm.dtype)
+
+
+def dia_spmm(
+    dia: DIAMatrix, x: jax.Array, alpha=1.0, interpret: bool = False
+) -> jax.Array:
+    """Y = alpha * A @ X for X (n, R): multi-rhs DIA kernel."""
+    return _dia_spmm_jit(dia, x, alpha, interpret)

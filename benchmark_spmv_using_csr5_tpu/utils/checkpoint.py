@@ -1,0 +1,83 @@
+"""Checkpoint / resume for converted matrices.
+
+The reference has no persistence (SURVEY.md section 5: its nearest
+analogue is the in-place asCSR5/asCSR round-trip, and its mmio write
+routines are dead code). Here the expensive artifact worth persisting is
+the CSR -> CSR5 conversion (tile metadata + execution plan): `save_csr5`
+serialises a :class:`CSR5Matrix` to one compressed ``.npz`` and
+`load_csr5` restores it bit-for-bit, so long-running services can skip
+reconversion on restart.
+
+Note: on the tunneled TPU dev platform, device->host readback is slow
+(NOTES.md); checkpointing is intended at conversion time (arrays still
+host-resident or small) or on CPU hosts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CSR5Config
+from ..models.formats import CSR5Matrix
+
+#: bump when the CSR5Matrix field layout changes
+FORMAT_VERSION = 1
+
+
+def save_csr5(path: str, a5: CSR5Matrix) -> None:
+    """Serialise a CSR5Matrix (arrays + static plan) to ``path`` (.npz)."""
+    arrays = {}
+    static = {"__version__": FORMAT_VERSION}
+    for f in dataclasses.fields(a5):
+        v = getattr(a5, f.name)
+        if f.name == "config":
+            static["config"] = [v.omega, v.sigma, v.tiles_per_block]
+        elif v is None:
+            static.setdefault("__none__", []).append(f.name)
+        elif isinstance(v, (jax.Array, np.ndarray)):
+            arr = np.asarray(v)
+            if arr.dtype == jnp.bfloat16:
+                # npz has no bf16: store the raw bits and remember
+                arrays[f.name] = arr.view(np.uint16)
+                static.setdefault("__bf16__", []).append(f.name)
+            else:
+                arrays[f.name] = arr
+        elif isinstance(v, tuple):
+            static[f.name] = list(v)
+        else:
+            static[f.name] = v
+    np.savez_compressed(path, __static__=json.dumps(static), **arrays)
+
+
+def load_csr5(path: str) -> CSR5Matrix:
+    """Restore a CSR5Matrix saved by :func:`save_csr5` (exact round-trip)."""
+    with np.load(path, allow_pickle=False) as z:
+        static = json.loads(str(z["__static__"]))
+        if static.pop("__version__") != FORMAT_VERSION:
+            raise ValueError(f"unsupported checkpoint version in {path}")
+        none_fields = set(static.pop("__none__", []))
+        bf16_fields = set(static.pop("__bf16__", []))
+        kwargs = {}
+        for f in dataclasses.fields(CSR5Matrix):
+            if f.name == "config":
+                om, sig, tpb = static["config"]
+                kwargs["config"] = CSR5Config(
+                    omega=om, sigma=sig, tiles_per_block=tpb
+                )
+            elif f.name in none_fields:
+                kwargs[f.name] = None
+            elif f.name in z.files:
+                arr = z[f.name]
+                if f.name in bf16_fields:
+                    kwargs[f.name] = jnp.asarray(arr).view(jnp.bfloat16)
+                else:
+                    kwargs[f.name] = jnp.asarray(arr)
+            else:
+                v = static[f.name]
+                kwargs[f.name] = tuple(v) if isinstance(v, list) else v
+    return CSR5Matrix(**kwargs)

@@ -80,3 +80,18 @@ def test_dia_rectangular():
     x = synth.dense_x(400, dtype=np.float32)
     y = np.asarray(dia_spmv(d, x, interpret=True))
     np.testing.assert_allclose(y, a @ x, atol=1e-5)
+
+
+def test_dia_spmm_vs_scipy():
+    from benchmark_spmv_using_csr5_tpu.ops.dia import dia_spmm
+
+    a = sp.csr_matrix(synth.banded(3000, 9, dtype=np.float32))
+    d = build_dia(_host(a))
+    xm = np.random.default_rng(5).integers(1, 10, (a.shape[1], 4)).astype(
+        np.float32
+    )
+    ym = np.asarray(dia_spmm(d, xm, alpha=0.5, interpret=True))
+    y_ref = 0.5 * (a @ xm)
+    np.testing.assert_allclose(
+        ym, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max())
+    )
