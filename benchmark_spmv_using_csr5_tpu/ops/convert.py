@@ -322,7 +322,10 @@ def build_csr5(
         pages = lo[:, None] + np.arange(pmax, dtype=np.int32)[None, :]
         pages_contig = True
     else:
-        pmax = _pow2_at_least(cnt_max, 2)
+        # round the list width to a multiple of 8 (NOT pow2): every padded
+        # slot costs a full masked unroll step in the tier-1 gather
+        # (47 -> 64 would waste 26% of the gather work)
+        pmax = max(-(-cnt_max // 8) * 8, 2)
         pages_contig = False
         if plan is not None:
             pages = make_lists(pmax, page_sentinel)
