@@ -16,7 +16,8 @@ from .models.formats import COOMatrix, CSR5Matrix, CSRMatrix, csr_from_numpy, cs
 from .models.handle import SpMVHandle
 from .ops.convert import build_csr5, csr5_to_csr
 from .ops.csr5_spmv import csr5_spmm, csr5_spmm_xla, csr5_spmv, csr5_spmv_xla
-from .ops.dia import DIAMatrix, build_dia, dia_spmv, dia_supported
+from .ops.dia import DIAMatrix, build_dia, dia_spmm, dia_spmv, dia_supported
+from .ops.hyb import HYBMatrix, build_hyb, hyb_spmv
 from .ops.reference import coo_spmv, csr_spmm, csr_spmv
 
 __version__ = "0.1.0"
@@ -44,6 +45,10 @@ __all__ = [
     "coo_spmv",
     "DIAMatrix",
     "build_dia",
+    "dia_spmm",
     "dia_spmv",
     "dia_supported",
+    "HYBMatrix",
+    "build_hyb",
+    "hyb_spmv",
 ]

@@ -1,0 +1,65 @@
+"""HYB5 (DIA + CSR5 hybrid) tests — the format the reference declares
+(ANONYMOUSLIB_FORMAT_HYB5, common.h:21) but never implements."""
+
+import numpy as np
+import scipy.sparse as sp
+
+from benchmark_spmv_using_csr5_tpu import build_hyb, hyb_spmv
+from benchmark_spmv_using_csr5_tpu.utils import synth
+
+
+def _mixed_matrix(m=1500, diags=5, extra_density=0.002, seed=0):
+    """Dense band + scattered noise: the HYB sweet spot."""
+    band = sp.csr_matrix(synth.banded(m, diags, dtype=np.float32))
+    noise = sp.random(
+        m, m, extra_density, format="csr", dtype=np.float32, random_state=seed
+    )
+    noise.data[:] = np.round(noise.data * 8) + 1
+    return sp.csr_matrix(band + noise)
+
+
+def _host(a):
+    return (a.indptr, a.indices, a.data, a.shape)
+
+
+def test_hyb_splits_mixed():
+    a = _mixed_matrix()
+    h = build_hyb(_host(a))
+    assert h.dia is not None and h.csr5 is not None
+    assert h.dia.nnz_stored + h.csr5.nnz_stored == a.nnz
+    # the band went to DIA
+    assert h.dia.ndiag >= 5
+    x = synth.dense_x(a.shape[1], dtype=np.float32)
+    y = np.asarray(hyb_spmv(h, x, alpha=1.25, csr5_backend="xla", interpret=True))
+    y_ref = 1.25 * (a @ x)
+    np.testing.assert_allclose(
+        y, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max())
+    )
+
+
+def test_hyb_pure_banded_has_no_csr5():
+    a = sp.csr_matrix(synth.banded(1000, 7, dtype=np.float32))
+    h = build_hyb(_host(a))
+    assert h.dia is not None and h.csr5 is None
+    x = synth.dense_x(1000, dtype=np.float32)
+    y = np.asarray(hyb_spmv(h, x, interpret=True))
+    np.testing.assert_allclose(y, a @ x, atol=1e-4)
+
+
+def test_hyb_unstructured_has_no_dia():
+    a = sp.random(800, 800, 0.01, format="csr", dtype=np.float32, random_state=2)
+    h = build_hyb(_host(a))
+    assert h.dia is None and h.csr5 is not None
+    x = synth.dense_x(800, dtype=np.float32)
+    y = np.asarray(hyb_spmv(h, x, csr5_backend="xla"))
+    np.testing.assert_allclose(
+        y, a @ x, atol=2e-5 * max(1.0, np.abs(a @ x).max())
+    )
+
+
+def test_hyb_empty():
+    e = sp.csr_matrix((16, 16), dtype=np.float32)
+    h = build_hyb(_host(e))
+    assert h.dia is None and h.csr5 is None
+    y = np.asarray(hyb_spmv(h, synth.dense_x(16, dtype=np.float32)))
+    assert (y == 0).all()
