@@ -62,9 +62,10 @@ def main(argv=None):
     ap.add_argument(
         "--format",
         default="csr5",
-        choices=["csr5", "dia"],
-        help="storage format: csr5 (general) or dia (diagonal-structured "
-        "matrices; streams no column indices)",
+        choices=["csr5", "dia", "hyb"],
+        help="storage format: csr5 (general), dia (diagonal-structured; "
+        "streams no column indices), or hyb (dense diagonals via DIA + "
+        "remainder via CSR5)",
     )
     ap.add_argument(
         "--reorder",
@@ -91,6 +92,8 @@ def main(argv=None):
         name = f"{name}+{args.reorder}"
     if args.format == "dia":
         return _run_dia(args, name, rp, ci, v, shape)
+    if args.format == "hyb":
+        return _run_hyb(args, name, rp, ci, v, shape)
     res = run_benchmark(
         name,
         rp,
@@ -104,6 +107,45 @@ def main(argv=None):
     )
     print(res.report())
     return 0 if res.check_ok else 1
+
+
+def _run_hyb(args, name, rp, ci, v, shape):
+    """HYB5-format benchmark path (SpMV only)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from ..ops.hyb import build_hyb, hyb_spmv
+    from ..utils import perf
+    from .harness import time_spmv_device_loop
+
+    if args.spmm > 1:
+        raise SystemExit("--format hyb supports SpMV only (--spmm 1)")
+    h = build_hyb((rp, ci, v, shape))
+    m, n = shape
+    rng = np.random.default_rng(0)
+    x = rng.integers(1, 10, n).astype(v.dtype)
+    y_ref = sp.csr_matrix((v, ci, rp), shape=shape) @ x
+    xd = jnp.asarray(x)
+    y = np.asarray(hyb_spmv(h, xd))
+    maxrel = float(
+        (np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-30)).max()
+    )
+    ms = time_spmv_device_loop(
+        lambda h_, x_: hyb_spmv(h_, x_), xd, args.num_run, operands=h
+    )
+    met = perf.spmv_metrics(m, len(v), ms, v.dtype.itemsize, n=n)
+    ok = maxrel <= 0.01
+    nd = h.dia.ndiag if h.dia is not None else 0
+    cn = h.csr5.nnz_stored if h.csr5 is not None else 0
+    print(
+        f"[{name}] ({m}, {n}) nnz = {len(v)}, hyb split: {nd} diagonals + "
+        f"{cn} csr5 nnz\n"
+        f"HYB5-based SpMV time = {ms:.4f} ms, {met.gbps:.2f} GB/s, "
+        f"{met.gflops:.2f} GFlops, {met.pct_of_roofline:.1f}% of HBM "
+        f"roofline (CSR byte model) [hyb]\n"
+        f"Check... {'PASS!' if ok else 'NOT PASS!'} (max rel err {maxrel:.2e})"
+    )
+    return 0 if ok else 1
 
 
 def _run_dia(args, name, rp, ci, v, shape):
