@@ -229,3 +229,71 @@ def distributed_spmv(
         check_rep=False,
     )(da.local, x_pad)
     return y.reshape(-1)[: da.m]
+
+
+def distributed_spmm(
+    da: DistributedCSR5,
+    xm: jax.Array,
+    mesh: Mesh,
+    alpha=1.0,
+    backend: str = "xla",
+) -> jax.Array:
+    """Y = alpha * A @ X with A row-sharded and the RHS columns sharded.
+
+    The 2D decomposition of BASELINE.json configs[3] ("SpMM ... multi-chip
+    with sharded RHS") on a 1D mesh, executed as a SUMMA-style ring: each
+    of the D steps applies the local A row block to the currently-held
+    X column shard, then ``ppermute``s the shards one hop around the mesh
+    (ICI), so the collective overlaps the next step's compute. After D
+    steps every device holds its Y row block for ALL right-hand sides;
+    no final gather is needed.
+
+    With the pallas backend, the per-device rhs count R/D must stay
+    within the single-kernel cap (16) — a mesh of D devices therefore
+    serves up to 16*D right-hand sides.
+    """
+    axis = mesh.axis_names[0]
+    D = da.num_devices
+    n, R = xm.shape[0], xm.shape[1]
+    r_per = -(-R // D)
+    x_pad = jnp.zeros((n, r_per * D), xm.dtype).at[:, :R].set(xm)
+
+    if backend in ("pallas", "pallas_interpret"):
+        from ..ops.csr5_kernel import csr5_spmm_pallas
+
+        spmm = lambda a5, xs: csr5_spmm_pallas(  # noqa: E731
+            a5, xs, alpha, interpret=backend == "pallas_interpret"
+        )
+    else:
+        from ..ops.csr5_spmv import csr5_spmm_xla
+
+        spmm = lambda a5, xs: csr5_spmm_xla(a5, xs, alpha)  # noqa: E731
+
+    perm = [(i, (i + 1) % D) for i in range(D)]
+
+    def local_step(local_a5: CSR5Matrix, x_shard: jax.Array) -> jax.Array:
+        a5 = jax.tree.map(lambda a: a[0], local_a5)
+        my = jax.lax.axis_index(axis).astype(jnp.int32)
+        m_local = da.rows_per_shard
+        y_rows = jnp.zeros((m_local, r_per * D), x_shard.dtype)
+        xs = x_shard
+        for t in range(D):
+            # after t hops this device holds the shard of device my - t
+            src = jax.lax.rem(my - t + D, jnp.int32(D)).astype(jnp.int32)
+            y_loc = spmm(a5, xs)[:m_local]
+            y_rows = jax.lax.dynamic_update_slice(
+                y_rows, y_loc, (jnp.int32(0), src * jnp.int32(r_per))
+            )
+            if t + 1 < D:
+                xs = jax.lax.ppermute(xs, axis, perm)
+        return y_rows[None]
+
+    y = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis), P(None, axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )(da.local, x_pad)
+    # (D, m_local, R_pad) row blocks -> (m, R)
+    return y.reshape(-1, r_per * D)[: da.m, :R]

@@ -101,3 +101,38 @@ def test_distributed_cg():
     b = jnp.ones((m,), jnp.float32)
     x, res = conjugate_gradient(step, b, iters=100)
     np.testing.assert_allclose(a_sp @ np.asarray(x), np.ones(m), atol=1e-3)
+
+
+@pytest.mark.parametrize("n_dev,R", [(4, 8), (8, 16)])
+def test_distributed_spmm_sharded_rhs(n_dev, R):
+    from benchmark_spmv_using_csr5_tpu.parallel.distributed import distributed_spmm
+
+    a_sp = synth.banded(1024, 9, dtype=np.float32)
+    mesh = make_mesh(n_dev)
+    da = distribute_csr(a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh)
+    rng = np.random.default_rng(4)
+    xm = rng.integers(1, 10, (a_sp.shape[1], R)).astype(np.float32)
+    ym = np.asarray(
+        jax.jit(lambda xx: distributed_spmm(da, xx, mesh))(jnp.asarray(xm))
+    )
+    y_ref = a_sp @ xm
+    assert ym.shape == y_ref.shape
+    np.testing.assert_allclose(
+        ym, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max())
+    )
+
+
+def test_distributed_spmm_ragged_rhs():
+    from benchmark_spmv_using_csr5_tpu.parallel.distributed import distributed_spmm
+
+    a_sp = synth.power_law(600, 600, 5.0, dtype=np.float32)
+    mesh = make_mesh(4)
+    da = distribute_csr(a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh)
+    xm = synth.dense_x(600, dtype=np.float32)[:, None] * np.ones(
+        (1, 6), np.float32
+    )  # R=6 not divisible by 4 devices
+    ym = np.asarray(distributed_spmm(da, jnp.asarray(xm), mesh))
+    y_ref = a_sp @ xm
+    np.testing.assert_allclose(
+        ym, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max())
+    )
