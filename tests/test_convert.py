@@ -237,3 +237,20 @@ def test_col_packed_numpy_fallback_matches_native():
     cf2 = col_flat.reshape(p, T)
     expect = ((cf2 & 127) | (local << 7)).astype(np.uint16).reshape(-1)
     np.testing.assert_array_equal(native, expect)
+
+
+def test_debug_tile_printer():
+    """print_tile parity helper (detail/utils.h:22-55): renders flags and
+    payload without error, marking row heads."""
+    import io
+
+    from benchmark_spmv_using_csr5_tpu.utils import debug
+
+    a_sp = synth.power_law(300, 300, 5.0, dtype=np.float32)
+    a5 = build_csr5(csr_from_scipy(a_sp), CSR5Config(sigma=8))
+    buf = io.StringIO()
+    debug.print_tile(a5, 0, file=buf)
+    out = buf.getvalue()
+    assert "tile 0" in out and "row_start=0" in out and "*" in out
+    debug.print_1darray(a5.tile_ptr, "tile_ptr", file=buf)
+    assert "tile_ptr" in buf.getvalue()
