@@ -24,17 +24,18 @@ import numpy as np
 
 from ..config import CSR5Config
 from ..models.formats import CSR5Matrix
+from ..ops.dia import DIAMatrix
 
 #: bump when the CSR5Matrix field layout changes
 FORMAT_VERSION = 1
 
 
-def save_csr5(path: str, a5: CSR5Matrix) -> None:
-    """Serialise a CSR5Matrix (arrays + static plan) to ``path`` (.npz)."""
+def _pack_fields(obj) -> tuple:
+    """Split a struct dataclass into (arrays, static-json) dicts."""
     arrays = {}
-    static = {"__version__": FORMAT_VERSION}
-    for f in dataclasses.fields(a5):
-        v = getattr(a5, f.name)
+    static = {"__version__": FORMAT_VERSION, "__type__": type(obj).__name__}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
         if f.name == "config":
             static["config"] = [v.omega, v.sigma, v.tiles_per_block]
         elif v is None:
@@ -51,19 +52,20 @@ def save_csr5(path: str, a5: CSR5Matrix) -> None:
             static[f.name] = list(v)
         else:
             static[f.name] = v
-    np.savez_compressed(path, __static__=json.dumps(static), **arrays)
+    return arrays, static
 
 
-def load_csr5(path: str) -> CSR5Matrix:
-    """Restore a CSR5Matrix saved by :func:`save_csr5` (exact round-trip)."""
+def _unpack_fields(cls, path: str, expect_type: str):
     with np.load(path, allow_pickle=False) as z:
         static = json.loads(str(z["__static__"]))
         if static.pop("__version__") != FORMAT_VERSION:
             raise ValueError(f"unsupported checkpoint version in {path}")
+        if static.pop("__type__", expect_type) != expect_type:
+            raise ValueError(f"{path} does not hold a {expect_type}")
         none_fields = set(static.pop("__none__", []))
         bf16_fields = set(static.pop("__bf16__", []))
         kwargs = {}
-        for f in dataclasses.fields(CSR5Matrix):
+        for f in dataclasses.fields(cls):
             if f.name == "config":
                 om, sig, tpb = static["config"]
                 kwargs["config"] = CSR5Config(
@@ -80,4 +82,26 @@ def load_csr5(path: str) -> CSR5Matrix:
             else:
                 v = static[f.name]
                 kwargs[f.name] = tuple(v) if isinstance(v, list) else v
-    return CSR5Matrix(**kwargs)
+    return cls(**kwargs)
+
+
+def save_csr5(path: str, a5: CSR5Matrix) -> None:
+    """Serialise a CSR5Matrix (arrays + static plan) to ``path`` (.npz)."""
+    arrays, static = _pack_fields(a5)
+    np.savez_compressed(path, __static__=json.dumps(static), **arrays)
+
+
+def load_csr5(path: str) -> CSR5Matrix:
+    """Restore a CSR5Matrix saved by :func:`save_csr5` (exact round-trip)."""
+    return _unpack_fields(CSR5Matrix, path, "CSR5Matrix")
+
+
+def save_dia(path: str, dia: DIAMatrix) -> None:
+    """Serialise a DIAMatrix to ``path`` (.npz)."""
+    arrays, static = _pack_fields(dia)
+    np.savez_compressed(path, __static__=json.dumps(static), **arrays)
+
+
+def load_dia(path: str) -> DIAMatrix:
+    """Restore a DIAMatrix saved by :func:`save_dia` (exact round-trip)."""
+    return _unpack_fields(DIAMatrix, path, "DIAMatrix")

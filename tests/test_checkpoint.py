@@ -63,3 +63,30 @@ def test_checkpoint_bf16_and_packed(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(back.col_packed), np.asarray(a5.col_packed)
     )
+
+
+def test_checkpoint_dia_roundtrip(tmp_path):
+    from benchmark_spmv_using_csr5_tpu.ops.dia import build_dia, dia_spmv
+
+    a = sp.csr_matrix(synth.banded(800, 5, dtype=np.float32))
+    d = build_dia((a.indptr, a.indices, a.data, a.shape))
+    p = str(tmp_path / "dia.npz")
+    checkpoint.save_dia(p, d)
+    back = checkpoint.load_dia(p)
+    assert back.offsets == d.offsets and back.shape == d.shape
+    np.testing.assert_array_equal(np.asarray(back.data), np.asarray(d.data))
+    x = synth.dense_x(800, dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(dia_spmv(back, x, interpret=True)), a @ x, atol=1e-4
+    )
+
+
+def test_checkpoint_type_mismatch(tmp_path):
+    import pytest as _pytest
+
+    a_sp = sp.csr_matrix(synth.banded(300, 5, dtype=np.float32))
+    a5 = build_csr5(csr_from_scipy(a_sp))
+    p = str(tmp_path / "x.npz")
+    checkpoint.save_csr5(p, a5)
+    with _pytest.raises(ValueError, match="DIAMatrix"):
+        checkpoint.load_dia(p)
