@@ -14,7 +14,7 @@ Public API (the anonymouslibHandle analogue lives in models.handle):
 from .config import AUTO_TUNED_SIGMA, CSR5Config, Format, Status, compute_sigma
 from .models.formats import COOMatrix, CSR5Matrix, CSRMatrix, csr_from_numpy, csr_from_scipy
 from .models.handle import SpMVHandle
-from .ops.convert import build_csr5, csr5_to_csr
+from .ops.convert import build_csr5, build_csr5_autotuned, csr5_to_csr
 from .ops.csr5_spmv import csr5_spmm, csr5_spmm_xla, csr5_spmv, csr5_spmv_xla
 from .ops.dia import DIAMatrix, build_dia, dia_spmm, dia_spmv, dia_supported
 from .ops.hyb import HYBMatrix, build_hyb, hyb_spmv
@@ -35,6 +35,7 @@ __all__ = [
     "csr_from_scipy",
     "SpMVHandle",
     "build_csr5",
+    "build_csr5_autotuned",
     "csr5_to_csr",
     "csr5_spmm",
     "csr5_spmm_xla",

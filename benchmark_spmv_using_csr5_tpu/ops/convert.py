@@ -460,6 +460,34 @@ def build_csr5(
     )
 
 
+def build_csr5_autotuned(
+    csr, config: Optional[CSR5Config] = None, value_dtype=None
+) -> CSR5Matrix:
+    """Two-stage conversion with a structure-aware sigma re-tune.
+
+    The reference sigma heuristic (``compute_sigma``, parity with
+    anonymouslib_cuda.h:295-318) sees only mean nnz/row. Measured on TPU
+    (NOTES.md): when the conversion lands in the scattered gather tiers
+    (pages not contiguous), a smaller sigma wins — fewer distinct pages
+    per tile outweighs having more tiles (scatband300k: sigma 8 is ~8%
+    faster than the heuristic's 16). This helper converts once with the
+    heuristic; if the result is non-contiguous with sigma > 8 it
+    converts again at sigma=8 and returns that. Costs one extra
+    conversion pass — use for matrices that will be applied many times.
+    """
+    a5 = build_csr5(csr, config)
+    if not a5.pages_contig and a5.config.sigma > 8:
+        cfg8 = CSR5Config(
+            omega=a5.config.omega,
+            sigma=8,
+            tiles_per_block=a5.config.tiles_per_block,
+        )
+        a5 = build_csr5(csr, cfg8, value_dtype=value_dtype)
+    elif value_dtype is not None:
+        a5 = build_csr5(csr, a5.config, value_dtype=value_dtype)
+    return a5
+
+
 def csr5_to_csr(a5: CSR5Matrix) -> CSRMatrix:
     """CSR5 -> CSR: the asCSR() analogue (anonymouslib_cuda.h:79-103).
 

@@ -254,3 +254,16 @@ def test_debug_tile_printer():
     assert "tile 0" in out and "row_start=0" in out and "*" in out
     debug.print_1darray(a5.tile_ptr, "tile_ptr", file=buf)
     assert "tile_ptr" in buf.getvalue()
+
+
+def test_autotuned_retunes_scattered_only():
+    from benchmark_spmv_using_csr5_tpu import build_csr5_autotuned
+
+    # scattered columns: heuristic sigma 16 -> retuned to 8 (NOTES.md)
+    scat = sp.csr_matrix(synth.scattered_band(2000, 16, 1500, dtype=np.float32))
+    a5 = build_csr5_autotuned((scat.indptr, scat.indices, scat.data, scat.shape))
+    assert not a5.pages_contig and a5.config.sigma == 8
+    # banded: contiguous pages, heuristic sigma kept
+    band = sp.csr_matrix(synth.banded(2000, 27, dtype=np.float32))
+    b5 = build_csr5_autotuned((band.indptr, band.indices, band.data, band.shape))
+    assert b5.pages_contig and b5.config.sigma == 24
