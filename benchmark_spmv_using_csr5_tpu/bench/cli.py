@@ -68,6 +68,13 @@ def main(argv=None):
         "remainder via CSR5)",
     )
     ap.add_argument(
+        "--autotune",
+        action="store_true",
+        help="structure-aware sigma re-tune: reconvert at sigma=8 when "
+        "the matrix lands in the scattered gather tiers (one extra "
+        "conversion pass; ~8%% faster SpMV on scattered matrices)",
+    )
+    ap.add_argument(
         "--reorder",
         choices=["none", "rcm"],
         default="none",
@@ -104,6 +111,7 @@ def main(argv=None):
         num_run=args.num_run,
         backend=args.backend,
         num_rhs=args.spmm,
+        autotune=args.autotune,
     )
     print(res.report())
     return 0 if res.check_ok else 1

@@ -130,6 +130,7 @@ def run_benchmark(
     backend: str = "auto",
     roofline_gbps: Optional[float] = None,
     num_rhs: int = 1,
+    autotune: bool = False,
 ) -> BenchResult:
     """Benchmark SpMV (num_rhs=1) or SpMM (num_rhs>1) on one matrix."""
     m, n = shape
@@ -151,10 +152,14 @@ def run_benchmark(
 
     t0 = time.perf_counter()
     # pass host arrays directly: device readback over the tunnel is ~6 MB/s
-    a5 = build_csr5(
-        (row_ptr, col_idx, values, shape),
-        CSR5Config(sigma=compute_sigma(m, csr.nnz, sigma)),
-    )
+    cfg = CSR5Config(sigma=compute_sigma(m, csr.nnz, sigma))
+    if autotune and sigma == AUTO_TUNED_SIGMA:
+        # an explicitly requested sigma always wins over the re-tune
+        from ..ops.convert import build_csr5_autotuned
+
+        a5 = build_csr5_autotuned((row_ptr, col_idx, values, shape), cfg)
+    else:
+        a5 = build_csr5((row_ptr, col_idx, values, shape), cfg)
     convert_ms = (time.perf_counter() - t0) * 1e3
     from ..ops.convert import last_convert_phases
 
