@@ -27,12 +27,16 @@ CASES = [
     "powerlaw200k",
     "spmm8_banded500k",
     "dia_tridiag500k",
+    "banded2M",  # slowest (conversion + 2M-scale oracle): always last
 ]
 #: per-case wall limit (compile ~1-2 min + timed loops; generous margin)
 CASE_TIMEOUT_S = 360
+#: slower cases get their own limit (banded2M measured ~10 min end to
+#: end: 2M-row synth + scipy oracle + conversion + compile)
+CASE_TIMEOUT_OVERRIDE_S = {"banded2M": 780}
 #: global budget: stop launching new attempts past this point so the
 #: final JSON line is always emitted well before any driver timeout
-TOTAL_BUDGET_S = 1800
+TOTAL_BUDGET_S = 2700
 _T0 = time.monotonic()
 #: plausibility bounds (ms): a result far above the historical range
 #: means the tunnel was degraded during the run (observed: powerlaw
@@ -44,12 +48,14 @@ SUSPECT_MS = {
     "powerlaw200k": 30.0,
     "spmm8_banded500k": 6.0,
     "dia_tridiag500k": 0.5,
+    "banded2M": 4.0,
 }
 
 
 def run_case(name: str):
+    case_timeout = CASE_TIMEOUT_OVERRIDE_S.get(name, CASE_TIMEOUT_S)
     for attempt in (1, 2):
-        if time.monotonic() - _T0 > TOTAL_BUDGET_S - CASE_TIMEOUT_S:
+        if time.monotonic() - _T0 > TOTAL_BUDGET_S - case_timeout:
             print(
                 f"[{name}] skipping attempt {attempt}: global budget "
                 f"({TOTAL_BUDGET_S}s) nearly spent",
@@ -62,7 +68,7 @@ def run_case(name: str):
                  "benchmark_spmv_using_csr5_tpu.bench.case_runner", name],
                 capture_output=True,
                 text=True,
-                timeout=CASE_TIMEOUT_S,
+                timeout=case_timeout,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             sys.stderr.write(proc.stderr[-4000:])
@@ -76,7 +82,7 @@ def run_case(name: str):
         except subprocess.TimeoutExpired:
             print(
                 f"[{name}] attempt {attempt}: timed out after "
-                f"{CASE_TIMEOUT_S}s (tunnel hang?)",
+                f"{case_timeout}s (tunnel hang?)",
                 file=sys.stderr,
             )
         except Exception as e:  # noqa: BLE001
@@ -86,6 +92,23 @@ def run_case(name: str):
                 file=sys.stderr,
             )
     return None
+
+
+def _summary(results: dict) -> dict:
+    primary = results["banded500k"]
+    return {
+        "metric": "csr5_spmv_pct_hbm_roofline_banded500k_f32",
+        "value": primary["pct_roofline"],
+        "unit": "% of 819 GB/s roofline",
+        "vs_baseline": round(primary["pct_roofline"] / 80.0, 4),
+        "gflops": primary["gflops"],
+        "gnnz_per_s": round(primary["nnz_per_sec"] / 1e9, 3),
+        "check": all(r.get("check_ok", False) for r in results.values()),
+        "extras": {
+            k: {kk: vv for kk, vv in r.items() if kk != "name"}
+            for k, r in results.items()
+        },
+    }
 
 
 def main():
@@ -105,6 +128,12 @@ def main():
                 res = res2
         if res is not None:
             results[name] = res
+        if name == "banded500k" and res is not None:
+            # provisional primary-only line: if an external timeout kills
+            # this process mid-suite, the round still records the
+            # headline metric (the complete line printed at the end
+            # supersedes this one for last-line parsers)
+            print(json.dumps(_summary({name: res})), flush=True)
 
     primary = results.get("banded500k")
     if primary is None:
@@ -123,20 +152,7 @@ def main():
         )
         return
 
-    out = {
-        "metric": "csr5_spmv_pct_hbm_roofline_banded500k_f32",
-        "value": primary["pct_roofline"],
-        "unit": "% of 819 GB/s roofline",
-        "vs_baseline": round(primary["pct_roofline"] / 80.0, 4),
-        "gflops": primary["gflops"],
-        "gnnz_per_s": round(primary["nnz_per_sec"] / 1e9, 3),
-        "check": all(r.get("check_ok", False) for r in results.values()),
-        "extras": {
-            k: {kk: vv for kk, vv in r.items() if kk != "name"}
-            for k, r in results.items()
-        },
-    }
-    print(json.dumps(out))
+    print(json.dumps(_summary(results)))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ def _suite():
             50,
         ),
         "spmm8_banded500k": (lambda: synth.banded(500_000, 27, dtype=np.float32), 8, 50),
+        "banded2M": (lambda: synth.banded(2_000_000, 27, dtype=np.float32), 1, 100),
     }
 
 
