@@ -161,7 +161,7 @@ def _run_dia(args, name, rp, ci, v, shape):
     import jax.numpy as jnp
     import scipy.sparse as sp
 
-    from ..ops.dia import build_dia, dia_spmm, dia_spmv
+    from ..ops.dia import build_dia, dia_spmm, dia_spmv, dia_supported
     from ..utils import perf
     from .harness import time_spmv_device_loop
 
@@ -169,6 +169,11 @@ def _run_dia(args, name, rp, ci, v, shape):
     if d is None:
         raise SystemExit(
             "matrix is not diagonal-structured; use --format csr5"
+        )
+    if not dia_supported(d):
+        raise SystemExit(
+            "matrix exceeds the DIA kernel's limits (f32/bf16 values and "
+            "x resident in VMEM); use --format csr5 or --dtype float32"
         )
     m, n = shape
     rng = np.random.default_rng(0)

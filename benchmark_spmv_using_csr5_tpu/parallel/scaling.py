@@ -36,16 +36,18 @@ class ScalePoint:
 
 
 def _time_distributed(da, mesh, x, iters: int, backend: str) -> float:
-    step = jax.jit(lambda xx: distributed_spmv(da, xx, mesh, backend=backend))
-
     def force(v):
         return float(np.asarray(jax.device_get(v.ravel()[0])))
 
+    # da is threaded through the jit as an ARGUMENT: closing over the
+    # DistributedCSR5 pytree embeds its arrays as HLO constants, which
+    # blows the tunnel compile payload (HTTP 413) at larger weak-scaling
+    # sizes (platform rule; see bench/harness.time_spmv_device_loop)
     @jax.jit
-    def loop(x, k):
+    def loop(da, x, k):
         def body(_, carry):
             acc, xx = carry
-            y = step(xx)
+            y = distributed_spmv(da, xx, mesh, backend=backend)
             acc = acc + y.ravel()[:1]
             return acc, x + acc[0] * jnp.asarray(1e-30, x.dtype)
 
@@ -54,10 +56,10 @@ def _time_distributed(da, mesh, x, iters: int, backend: str) -> float:
 
     def sample(k, reps=3):
         best = float("inf")
-        force(loop(x, k))
+        force(loop(da, x, k))
         for _ in range(reps):
             t0 = time.perf_counter()
-            force(loop(x, k))
+            force(loop(da, x, k))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -78,7 +78,18 @@ def _unpack_fields(cls, path: str, expect_type: str):
                 if f.name in bf16_fields:
                     kwargs[f.name] = jnp.asarray(arr).view(jnp.bfloat16)
                 else:
-                    kwargs[f.name] = jnp.asarray(arr)
+                    dev = jnp.asarray(arr)
+                    if dev.dtype != arr.dtype:
+                        # jnp.asarray silently narrows f64/i64 when
+                        # jax_enable_x64 is off (the TPU default), which
+                        # would break the documented exact round-trip
+                        raise ValueError(
+                            f"loading {path}: field {f.name!r} is "
+                            f"{arr.dtype} but jax would narrow it to "
+                            f"{dev.dtype}; enable jax_enable_x64 or save "
+                            f"the checkpoint at a narrower dtype"
+                        )
+                    kwargs[f.name] = dev
             else:
                 v = static[f.name]
                 kwargs[f.name] = tuple(v) if isinstance(v, list) else v

@@ -38,6 +38,19 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
+def _needs_build() -> bool:
+    """True when the .so is missing or older than any native source file
+    (a stale prebuilt library would silently serve outdated results)."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    for fn in os.listdir(_NATIVE_DIR):
+        if fn.endswith((".cpp", ".cc", ".h")):
+            if os.path.getmtime(os.path.join(_NATIVE_DIR, fn)) > so_mtime:
+                return True
+    return False
+
+
 def _try_load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     with _lock:
@@ -45,46 +58,57 @@ def _try_load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH):
+        if _needs_build():
             if not os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
                 _build_failed = True
                 return None
             try:
                 subprocess.run(
-                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    ["make", "-C", _NATIVE_DIR, "-s", "-B"],
                     check=True,
                     capture_output=True,
                     timeout=120,
                 )
             except Exception:
-                _build_failed = True
-                return None
+                if not os.path.exists(_LIB_PATH):
+                    _build_failed = True
+                    return None
+                # no toolchain but a prebuilt .so exists: use it as-is
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             _build_failed = True
             return None
 
-        lib.mm_load.restype = ctypes.c_void_p
-        lib.mm_load.argtypes = [ctypes.c_char_p]
-        lib.mm_last_error.restype = ctypes.c_char_p
-        for fn in (lib.mm_rows, lib.mm_cols, lib.mm_nnz):
-            fn.restype = ctypes.c_int64
-            fn.argtypes = [ctypes.c_void_p]
-        lib.mm_fill.restype = None
-        lib.mm_fill.argtypes = [
-            ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_double),
-        ]
-        lib.mm_free.restype = None
-        lib.mm_free.argtypes = [ctypes.c_void_p]
-        lib.csr_spmv_f64.restype = None
-        lib.csr_spmv_f32.restype = None
-        lib.csr5_tile_ptr.restype = None
-        lib.csr5_page_stats.restype = None
-        lib.csr5_page_lists.restype = None
+        try:
+            lib.mm_load.restype = ctypes.c_void_p
+            lib.mm_load.argtypes = [ctypes.c_char_p]
+            lib.mm_last_error.restype = ctypes.c_char_p
+            for fn in (lib.mm_rows, lib.mm_cols, lib.mm_nnz):
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [ctypes.c_void_p]
+            lib.mm_fill.restype = None
+            lib.mm_fill.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.mm_free.restype = None
+            lib.mm_free.argtypes = [ctypes.c_void_p]
+            lib.csr_spmv_f64.restype = None
+            lib.csr_spmv_f32.restype = None
+            lib.csr5_tile_ptr.restype = None
+            lib.csr5_page_stats.restype = None
+            lib.csr5_page_lists.restype = None
+            lib.csr5_col_local.restype = None
+            lib.mm_write_csr.restype = ctypes.c_int32
+        except AttributeError:
+            # a symbol is missing (stale .so without a toolchain to
+            # rebuild): treat the library as unavailable so every caller
+            # takes its pure-numpy fallback instead of raising mid-call
+            _build_failed = True
+            return None
         _lib = lib
         return _lib
 
@@ -245,6 +269,39 @@ def col_local_packed(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
     )
     return out
+
+
+def write_matrix_market(
+    path: str,
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    values: np.ndarray,
+    shape: Tuple[int, int],
+) -> bool:
+    """CSR -> coordinate-real-general .mtx via the native writer.
+
+    Returns False when the native library is unavailable (callers fall
+    back to utils.mmio.write_mtx); raises OSError on write failure.
+    """
+    lib = _try_load()
+    if lib is None:
+        return False
+    m, n = shape
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    col_idx = np.ascontiguousarray(col_idx, np.int32)
+    values = np.ascontiguousarray(values, np.float64)
+    rc = lib.mm_write_csr(
+        os.fspath(path).encode(),
+        ctypes.c_int64(m),
+        ctypes.c_int64(n),
+        ctypes.c_int64(len(values)),
+        row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        col_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise OSError(f"mm_write_csr({path}) failed")
+    return True
 
 
 def tile_partition_pointer(

@@ -1,11 +1,14 @@
 """A/B: committed (git HEAD) kernel vs working-tree kernel, interleaved.
 
-Runs on the real TPU. Snapshots the HEAD version of ops/csr5_kernel.py
-into ops/_csr5_kernel_baseline.py (gitignored), builds each matrix once,
-then times both kernels back-to-back within one process so the
+Runs on the real TPU. Snapshots the HEAD versions of ops/csr5_kernel.py
+AND its data-format producers (ops/convert.py, models/formats.py) into
+gitignored ``_*_baseline.py`` modules (imports rewritten to point at each
+other), so the old kernel runs against an old-converter CSR5Matrix even
+when the working tree changed the conversion format. Each side builds
+its own a5; both are timed back-to-back within one process so the
 session-level device-speed variance (NOTES.md, +-10%) cancels.
 
-Usage: edit ops/csr5_kernel.py (uncommitted), then
+Usage: edit the ops (uncommitted), then
   python scripts/ab_pipeline.py
 """
 
@@ -19,18 +22,36 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")  # NOT via PYTHONPATH: that breaks axon discovery
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
-_BASE = _REPO / "benchmark_spmv_using_csr5_tpu/ops/_csr5_kernel_baseline.py"
-_BASE.write_bytes(
-    subprocess.check_output(
-        ["git", "-C", str(_REPO), "show",
-         "HEAD:benchmark_spmv_using_csr5_tpu/ops/csr5_kernel.py"]
-    )
+_PKG = _REPO / "benchmark_spmv_using_csr5_tpu"
+
+
+def _snapshot(head_rel: str, base_name: str, rewrites) -> None:
+    src = subprocess.check_output(
+        ["git", "-C", str(_REPO), "show", f"HEAD:benchmark_spmv_using_csr5_tpu/{head_rel}"]
+    ).decode()
+    for old, new in rewrites:
+        src = src.replace(old, new)
+    (_PKG / "ops" / base_name).write_text(src)
+
+
+# snapshot the whole HEAD data path: formats -> convert -> kernel
+# (formats.py sits in ops/ for the snapshot: its `..config` import still
+# resolves to the package config from there)
+_snapshot("models/formats.py", "_formats_baseline.py", [])
+_snapshot(
+    "ops/convert.py", "_convert_baseline.py",
+    [("from ..models.formats import", "from ._formats_baseline import")],
+)
+_snapshot(
+    "ops/csr5_kernel.py", "_csr5_kernel_baseline.py",
+    [("from ..models.formats import", "from ._formats_baseline import")],
 )
 
 from benchmark_spmv_using_csr5_tpu.config import CSR5Config, compute_sigma
 from benchmark_spmv_using_csr5_tpu.ops.convert import build_csr5
 from benchmark_spmv_using_csr5_tpu.ops import csr5_kernel as newk
 from benchmark_spmv_using_csr5_tpu.ops import _csr5_kernel_baseline as oldk
+from benchmark_spmv_using_csr5_tpu.ops import _convert_baseline as oldconvert
 from benchmark_spmv_using_csr5_tpu.bench.harness import time_spmv_device_loop
 from benchmark_spmv_using_csr5_tpu.utils import synth
 
@@ -45,10 +66,10 @@ def bench_case(name, a, num_rhs=1, num_run=200):
     )
     a_sp = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)
     y_ref = a_sp @ x
-    a5 = build_csr5(
-        (a.indptr, a.indices, a.data, a.shape),
-        CSR5Config(sigma=compute_sigma(m, len(a.data))),
-    )
+    csr = (a.indptr, a.indices, a.data, a.shape)
+    cfg = CSR5Config(sigma=compute_sigma(m, len(a.data)))
+    # each kernel version gets a matrix built by ITS OWN converter
+    a5s = {"old": oldconvert.build_csr5(csr, cfg), "new": build_csr5(csr, cfg)}
     xd = jnp.asarray(x)
     if num_rhs > 1:
         fns = {"old": oldk.csr5_spmm_pallas, "new": newk.csr5_spmm_pallas}
@@ -56,6 +77,7 @@ def bench_case(name, a, num_rhs=1, num_run=200):
         fns = {"old": oldk.csr5_spmv_pallas, "new": newk.csr5_spmv_pallas}
 
     for tag, fn in fns.items():
+        a5 = a5s[tag]
         y = np.asarray(fn(a5, xd))
         rel = np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-30)
         ok = float(rel.max()) <= 0.01
