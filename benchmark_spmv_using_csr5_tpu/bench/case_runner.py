@@ -1,51 +1,145 @@
-"""Single-benchmark-case runner: ``python -m ...bench.case_runner NAME``.
+"""Benchmark-case runner: ``python -m ...bench.case_runner NAME [NAME...]``.
 
-Prints ONE JSON line with the case's metrics. bench.py runs each case in
-a subprocess with its own timeout so a hung TPU tunnel (observed once:
-a bench run produced no output for 1100 s) can cost at most one case,
-never the whole round benchmark.
+Prints ONE JSON line per completed case (flushed immediately), so the
+parent bench.py can collect partial results even when a later case hangs
+the process (the TPU tunnel occasionally hangs outright; a hang once
+swallowed a whole 1100 s bench run). Several cases sharing one process
+amortise the ~20 s JAX/tunnel start-up.
+
+Case families:
+
+- CSR5 synthetics (banded / scattered / power-law / SpMM) — the tier
+  coverage of the Pallas gather (NOTES.md).
+- ``scrambled300k`` / ``scrambled300k_rcm`` — a randomly-permuted banded
+  matrix raw vs after RCM reordering: the measured demonstration of the
+  ``--reorder`` flag's tier upgrade (utils/reorder.py).
+- ``mtx_*`` — real Matrix Market files driven end-to-end (generate .mtx
+  once into data/, then mmio native load -> convert -> TPU), the
+  reference's own usage shape (``./spmv matrix.mtx``, main.cu:146-155).
+- ``dia_tridiag500k`` — the DIA-format extra.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import time
 
 import numpy as np
+
+_DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data",
+)
+
+
+def _scrambled_band(m, bw, span, seed=0):
+    """A scattered band hidden behind a random symmetric permutation —
+    the 'badly ordered circuit matrix' shape RCM is for."""
+    import scipy.sparse as sp
+
+    from ..utils import synth
+
+    a = sp.csr_matrix(synth.scattered_band(m, bw, span, dtype=np.float32))
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(m)
+    return a[perm][:, perm].tocsr()
 
 
 def _suite():
     from ..utils import synth
 
+    # name: (factory, num_rhs, num_run, autotune, reorder)
     return {
-        "banded500k": (lambda: synth.banded(500_000, 27, dtype=np.float32), 1, 200),
+        "banded500k": (
+            lambda: synth.banded(500_000, 27, dtype=np.float32), 1, 200, False, None,
+        ),
         # moderate locality: random columns within a 6k band exercises the
-        # tier-1 masked page unroll (page span > contig cap, < 64)
+        # tier-1 masked page unroll (page span > contig cap, < 64);
+        # autotune applies the measured sigma->8 re-tune (NOTES.md)
         "scatband300k": (
             lambda: synth.scattered_band(300_000, 16, 6000, dtype=np.float32),
-            1,
-            100,
+            1, 100, True, None,
         ),
         "powerlaw200k": (
             lambda: synth.power_law(200_000, 200_000, 8.0, dtype=np.float32),
+            1, 50, False, None,
+        ),
+        "spmm8_banded500k": (
+            lambda: synth.banded(500_000, 27, dtype=np.float32), 8, 50, False, None,
+        ),
+        "banded2M": (
+            lambda: synth.banded(2_000_000, 27, dtype=np.float32), 1, 100, False, None,
+        ),
+        # beyond the whole-matrix VMEM residency cap (m + n >> 23M f32):
+        # exercises the row-sliced Pallas path (ops/bigslice.py, the
+        # reference's any-size coverage, csr5_spmv_cuda.h:275-311)
+        "banded20M": (
+            lambda: synth.banded(20_000_000, 5, dtype=np.float32), 1, 100, False, None,
+        ),
+        # raw vs RCM side-by-side (the --reorder story, VERDICT item 10)
+        "scrambled300k": (
+            lambda: _scrambled_band(300_000, 10, 4000), 1, 50, True, None,
+        ),
+        "scrambled300k_rcm": (
+            lambda: _scrambled_band(300_000, 10, 4000), 1, 100, True, "rcm",
+        ),
+    }
+
+
+#: real-matrix cases: name -> (filename, factory) — generated once into
+#: data/ with the native .mtx writer, then loaded via the native parser
+def _mtx_suite():
+    import scipy.sparse as sp
+
+    from ..utils import synth
+
+    def lap2d(g=700):
+        # 2D 9-point Laplacian on a g x g grid (SuiteSparse ecology/
+        # apache class): 8-neighbour stencil + centre
+        m = g * g
+        offs = [-g - 1, -g, -g + 1, -1, 0, 1, g - 1, g, g + 1]
+        diags = [np.full(m - abs(o), -1.0, np.float64) for o in offs]
+        diags[4] = np.full(m, 8.0)
+        return sp.csr_matrix(sp.diags(diags, offs, shape=(m, m)))
+
+    return {
+        "mtx_lap2d_490k": ("lap2d_700.mtx", lap2d, 1, 100),
+        "mtx_powlaw300k": (
+            "powlaw300k.mtx",
+            lambda: sp.csr_matrix(
+                synth.power_law(300_000, 300_000, 10.0, dtype=np.float64)
+            ),
             1,
             50,
         ),
-        "spmm8_banded500k": (lambda: synth.banded(500_000, 27, dtype=np.float32), 8, 50),
-        "banded2M": (lambda: synth.banded(2_000_000, 27, dtype=np.float32), 1, 100),
     }
 
 
 def _run_csr5_case(name: str) -> dict:
     from .harness import run_benchmark
 
-    make, rhs, num_run = _suite()[name]
+    make, rhs, num_run, autotune, reorder = _suite()[name]
     a = make()
+    extra = {}
+    if reorder is not None:
+        from ..utils.reorder import bandwidth, reorder_for_locality
+
+        t0 = time.perf_counter()
+        bw0 = bandwidth(a)
+        a, _perm = reorder_for_locality(a, method=reorder)
+        extra = {
+            "reorder_ms": round((time.perf_counter() - t0) * 1e3, 1),
+            "bandwidth_before": int(bw0),
+            "bandwidth_after": int(bandwidth(a)),
+        }
     res = run_benchmark(
-        name, a.indptr, a.indices, a.data, a.shape, num_run=num_run, num_rhs=rhs
+        name, a.indptr, a.indices, a.data, a.shape,
+        num_run=num_run, num_rhs=rhs, autotune=autotune,
     )
     print(res.report(), file=sys.stderr)
-    return {
+    out = {
         "name": name,
         "gflops": round(res.gflops, 2),
         "pct_roofline": round(res.pct_of_roofline, 2),
@@ -53,6 +147,52 @@ def _run_csr5_case(name: str) -> dict:
         "nnz_per_sec": res.nnz_per_sec,
         "backend": res.backend,
         "check_ok": bool(res.check_ok),
+        "sigma": res.sigma,
+    }
+    out.update(extra)
+    return out
+
+
+def _run_mtx_case(name: str) -> dict:
+    """End-to-end real-matrix path: .mtx file -> native mmio parse ->
+    CSR -> CSR5 -> TPU Pallas SpMV (the ``./spmv matrix.mtx`` shape)."""
+    from ..utils import mmio, nativelib
+    from .harness import run_benchmark
+
+    fname, factory, rhs, num_run = _mtx_suite()[name]
+    path = os.path.join(_DATA_DIR, fname)
+    gen_ms = 0.0
+    if not os.path.exists(path):
+        os.makedirs(_DATA_DIR, exist_ok=True)
+        t0 = time.perf_counter()
+        a = factory()
+        # integer values in [1, 9] keep the f32 check exact (main.cu:317)
+        rng = np.random.default_rng(0)
+        a.data[:] = rng.integers(1, 10, a.nnz).astype(a.data.dtype)
+        mmio.write_mtx(path + ".tmp", a.indptr, a.indices, a.data, a.shape)
+        os.replace(path + ".tmp", path)
+        gen_ms = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    rp, ci, v, shape = nativelib.load_matrix_market(path)
+    load_ms = (time.perf_counter() - t0) * 1e3
+    res = run_benchmark(
+        name, rp, ci, v.astype(np.float32), shape,
+        num_run=num_run, num_rhs=rhs, autotune=True,
+    )
+    print(res.report(), file=sys.stderr)
+    return {
+        "name": name,
+        "file": fname,
+        "mtx_bytes": os.path.getsize(path),
+        "mtx_load_ms": round(load_ms, 1),
+        "mtx_gen_ms": round(gen_ms, 1),
+        "gflops": round(res.gflops, 2),
+        "pct_roofline": round(res.pct_of_roofline, 2),
+        "spmv_ms": round(res.spmv_ms, 4),
+        "nnz_per_sec": res.nnz_per_sec,
+        "backend": res.backend,
+        "check_ok": bool(res.check_ok),
+        "sigma": res.sigma,
     }
 
 
@@ -97,9 +237,7 @@ def _parent_watchdog() -> None:
     """Exit if the parent bench.py dies (e.g. a driver timeout killed it):
     an orphaned case would otherwise keep holding the single-user TPU and
     hang every subsequent benchmark attempt."""
-    import os
     import threading
-    import time
 
     def watch():
         while True:
@@ -110,15 +248,26 @@ def _parent_watchdog() -> None:
     threading.Thread(target=watch, daemon=True).start()
 
 
+def run_one(name: str) -> dict:
+    if name == "dia_tridiag500k":
+        return _run_dia_case()
+    if name.startswith("mtx_"):
+        return _run_mtx_case(name)
+    return _run_csr5_case(name)
+
+
 def main() -> int:
     _parent_watchdog()
-    name = sys.argv[1]
-    if name == "dia_tridiag500k":
-        out = _run_dia_case()
-    else:
-        out = _run_csr5_case(name)
-    print(json.dumps(out), flush=True)
-    return 0
+    names = sys.argv[1:]
+    ok = True
+    for name in names:
+        try:
+            out = run_one(name)
+        except Exception as e:  # noqa: BLE001 — report, keep going
+            out = {"name": name, "error": f"{type(e).__name__}: {str(e)[:300]}"}
+            ok = False
+        print(json.dumps(out), flush=True)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

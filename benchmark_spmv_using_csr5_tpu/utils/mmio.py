@@ -152,9 +152,19 @@ def read_mtx_csr(path: str, dtype=np.float64):
 
 def write_mtx(path: str, row_ptr, col_idx, values, shape, field="real"):
     """Write CSR as a general coordinate .mtx (mm_write_* parity,
-    ``mmio.h:29-31`` -- unused in the reference but part of its API)."""
+    ``mmio.h:29-31`` -- unused in the reference but part of its API).
+
+    Delegates to the native writer when available (the Python per-line
+    loop is ~50x slower on this 1-vCPU host); ``field`` other than
+    "real" always takes the Python path.
+    """
     m, n = shape
     nnz = len(values)
+    if field == "real":
+        from . import nativelib
+
+        if nativelib.write_matrix_market(path, row_ptr, col_idx, values, shape):
+            return
     with open(path, "w") as f:
         f.write(f"%%MatrixMarket matrix coordinate {field} general\n")
         f.write(f"{m} {n} {nnz}\n")
