@@ -17,7 +17,7 @@ from .models.handle import SpMVHandle
 from .ops.convert import build_csr5, build_csr5_autotuned, csr5_to_csr
 from .ops.csr5_spmv import csr5_spmm, csr5_spmm_xla, csr5_spmv, csr5_spmv_xla
 from .ops.dia import DIAMatrix, build_dia, dia_spmm, dia_spmv, dia_supported
-from .ops.hyb import HYBMatrix, build_hyb, hyb_spmv
+from .ops.hyb import HYBMatrix, build_hyb, hyb_spmm, hyb_spmv
 from .ops.reference import coo_spmv, csr_spmm, csr_spmv
 
 __version__ = "0.1.0"
@@ -51,5 +51,6 @@ __all__ = [
     "dia_supported",
     "HYBMatrix",
     "build_hyb",
+    "hyb_spmm",
     "hyb_spmv",
 ]

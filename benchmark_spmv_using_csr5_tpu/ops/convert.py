@@ -80,12 +80,16 @@ def tile_dirty_flags(row_ptr: jax.Array, tile_ptr: jax.Array) -> jax.Array:
 
     Parity with generate_partition_pointer_s2_kernel (format_cuda.h:44-95,
     dirty-bit mask at :92). The row owning the tile's first nonzero is never
-    empty, so only rows strictly inside (tile_ptr[t], tile_ptr[t+1]) matter.
+    empty, so only rows in [tile_ptr[t]+1, min(tile_ptr[t+1], m-1)] matter —
+    the same clamped range the host conversion uses (build_csr5), so the two
+    stages agree element-for-element (tests/test_convert.py).
     """
+    m = row_ptr.shape[0] - 1
     empty = (jnp.diff(row_ptr) == 0).astype(jnp.int32)
     e_prefix = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(empty)])
-    start, stop = tile_ptr[:-1], tile_ptr[1:]
-    return (e_prefix[stop + 1] - e_prefix[start + 1]) > 0
+    start = tile_ptr[:-1]
+    stop = jnp.minimum(tile_ptr[1:], m - 1)
+    return (e_prefix[stop + 1] - e_prefix[jnp.minimum(start + 1, m)]) > 0
 
 
 # ---------------------------------------------------------------------------
@@ -454,8 +458,10 @@ def build_csr5(
         capw=capw,
         pmax=pmax,
         # +128 headroom: the wrapped-mode kernel writes capw/128+1 y rows
-        # starting at the block of a tile's first row
-        m_pad=_pow2_at_least(m + capw + 128, 1024),
+        # starting at the block of a tile's first row. 1024-multiple (not
+        # pow2: pow2 rounding doubled the VMEM y scratch at awkward m,
+        # which matters once big matrices run as VMEM-sized slices)
+        m_pad=-(-(m + capw + 128) // 1024) * 1024,
         n_pad=n_pad,
     )
 

@@ -224,6 +224,42 @@ def dia_spmv(
     return _dia_spmv_jit(dia, x, alpha, interpret)
 
 
+@jax.jit
+def dia_spmm_xla(dia: DIAMatrix, xm: jax.Array, alpha=1.0) -> jax.Array:
+    """Pure-XLA DIA SpMM fallback for X (n, R) (see :func:`dia_spmv_xla`)."""
+    m, n = dia.shape
+    offs = dia.offsets
+    pad_l = max(0, -min(offs))
+    pad_r = max(0, dia.m_pad + max(offs) - n)
+    xp = jnp.pad(xm * jnp.asarray(alpha, xm.dtype), ((pad_l, pad_r), (0, 0)))
+    acc = jnp.zeros((dia.m_pad, xm.shape[1]), dia.data.dtype)
+    for k, off in enumerate(offs):
+        xs = jax.lax.dynamic_slice(
+            xp, (pad_l + off, 0), (dia.m_pad, xm.shape[1])
+        ).astype(dia.data.dtype)
+        acc = acc + dia.data[k][:, None] * xs
+    return acc[:m].astype(xm.dtype)
+
+
+@jax.jit
+def dia_spmv_xla(dia: DIAMatrix, x: jax.Array, alpha=1.0) -> jax.Array:
+    """Pure-XLA DIA SpMV: the validation-grade fallback for matrices the
+    Pallas kernel cannot take (f64 values, VMEM-oversized x). Static
+    offsets keep every slice static: y[i] = sum_k data[k,i] * x[i+off_k].
+    """
+    m, n = dia.shape
+    offs = dia.offsets
+    pad_l = max(0, -min(offs))
+    pad_r = max(0, dia.m_pad + max(offs) - n)
+    xp = jnp.pad(x * jnp.asarray(alpha, x.dtype), (pad_l, pad_r))
+    acc = jnp.zeros(dia.m_pad, dia.data.dtype)
+    for k, off in enumerate(offs):
+        acc = acc + dia.data[k] * jax.lax.dynamic_slice(
+            xp, (pad_l + off,), (dia.m_pad,)
+        ).astype(dia.data.dtype)
+    return acc[:m].astype(x.dtype)
+
+
 def _dia_spmm_kernel(
     val_ref, x_ref, o_ref, *, offsets, pad_l, C, R, x_rows
 ):

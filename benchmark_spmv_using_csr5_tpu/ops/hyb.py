@@ -24,7 +24,7 @@ from ..models.formats import CSR5Matrix
 from .convert import build_csr5
 from .csr5_kernel import csr5_spmv_pallas, pallas_supported
 from .csr5_spmv import csr5_spmv_xla
-from .dia import MAX_DIAGS, DIAMatrix, build_dia, dia_spmv
+from .dia import MAX_DIAGS, DIAMatrix, build_dia, dia_spmv, dia_spmv_xla, dia_supported
 
 
 @struct.dataclass
@@ -142,7 +142,13 @@ def hyb_spmv(
     """y = alpha * A @ x = DIA part + CSR5 part."""
     parts = []
     if h.dia is not None:
-        parts.append(dia_spmv(h.dia, x, alpha, interpret=interpret))
+        # gate the Pallas DIA kernel exactly like the CSR5 side: an f64 or
+        # VMEM-oversized diagonal plane falls back to the XLA path instead
+        # of failing at Mosaic compile time (interpret mode has no limits)
+        if interpret or dia_supported(h.dia):
+            parts.append(dia_spmv(h.dia, x, alpha, interpret=interpret))
+        else:
+            parts.append(dia_spmv_xla(h.dia, x, alpha))
     if h.csr5 is not None:
         backend = csr5_backend
         if backend == "auto":
@@ -157,6 +163,49 @@ def hyb_spmv(
             parts.append(csr5_spmv_xla(h.csr5, x, alpha))
     if not parts:
         return jnp.zeros(h.m, x.dtype)
+    y = parts[0]
+    for p in parts[1:]:
+        y = y + p
+    return y
+
+
+def hyb_spmm(
+    h: HYBMatrix,
+    x: jax.Array,
+    alpha=1.0,
+    csr5_backend: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """Y = alpha * A @ X for X (n, R): DIA part + CSR5 part.
+
+    Multi-rhs extension of :func:`hyb_spmv`; both sub-kernels stream their
+    value planes once and reuse them across the R right-hand sides.
+    """
+    from .csr5_kernel import csr5_spmm_pallas, pallas_spmm_supported
+    from .csr5_spmv import csr5_spmm_xla
+    from .dia import dia_spmm, dia_spmm_xla
+
+    parts = []
+    if h.dia is not None:
+        if interpret or dia_supported(h.dia):
+            parts.append(dia_spmm(h.dia, x, alpha, interpret=interpret))
+        else:
+            parts.append(dia_spmm_xla(h.dia, x, alpha))
+    if h.csr5 is not None:
+        backend = csr5_backend
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and pallas_spmm_supported(h.csr5, x.shape[1])
+                else "xla"
+            )
+        if backend == "pallas":
+            parts.append(csr5_spmm_pallas(h.csr5, x, alpha, interpret=interpret))
+        else:
+            parts.append(csr5_spmm_xla(h.csr5, x, alpha))
+    if not parts:
+        return jnp.zeros((h.m, x.shape[1]), x.dtype)
     y = parts[0]
     for p in parts[1:]:
         y = y + p

@@ -74,9 +74,42 @@ def test_dirty_bits_mark_empty_rows():
         lo, hi = tp[t], min(tp[t + 1], m - 1)
         has_empty = any(rp[r] == rp[r + 1] for r in range(lo, hi + 1))
         assert bool(dirty[t]) == has_empty, f"tile {t}: [{lo},{hi}]"
+    # jittable stage agrees value-for-value with the host conversion
     jd = np.asarray(tile_dirty_flags(csr.row_ptr, a5.tile_ptr))
-    # jittable stage agrees on the strict-interior definition
-    assert jd.shape[0] == a5.num_tiles
+    np.testing.assert_array_equal(jd, dirty)
+
+
+def test_seg_offset_matches_bruteforce():
+    """seg_offset oracle (scansum parity, format_cuda.h:200-240):
+    seg_offset[t, l] = number of flag-free lanes between lane l and the
+    next lane holding any bit flag (omega-l-1 when none follows)."""
+    for a_sp in (
+        synth.power_law(300, 300, 4.0, seed=11),
+        synth.random_csr(200, 150, 0.05, seed=5),
+        sp.csr_matrix(synth.banded(600, 9, dtype=np.float32)),
+    ):
+        csr = csr_from_scipy(a_sp)
+        cfg = CSR5Config(sigma=8)
+        a5 = build_csr5(csr, cfg)
+        rp = np.asarray(csr.row_ptr)
+        sig, om = cfg.sigma, cfg.omega
+        T = sig * om
+        nnz_pad = a5.num_tiles * T
+        heads = np.zeros(nnz_pad, bool)
+        nonempty = np.diff(rp) > 0
+        heads[rp[:-1][nonempty]] = True
+        heads[np.arange(a5.num_tiles) * T] = True  # forced tile-leading bit
+        seg = np.asarray(a5.seg_offset)
+        for t in range(a5.num_tiles):
+            lane_has = heads[t * T : (t + 1) * T].reshape(om, sig).any(axis=1)
+            for l in range(om):  # noqa: E741
+                nxt = om  # sentinel: no flagged lane after l
+                for l2 in range(l + 1, om):
+                    if lane_has[l2]:
+                        nxt = l2
+                        break
+                expect = max(0, min(nxt - l - 1, om))
+                assert seg[t, l] == expect, (t, l)
 
 
 def test_bit_flags_and_y_offset():

@@ -4,7 +4,7 @@
 import numpy as np
 import scipy.sparse as sp
 
-from benchmark_spmv_using_csr5_tpu import build_hyb, hyb_spmv
+from benchmark_spmv_using_csr5_tpu import build_hyb, hyb_spmm, hyb_spmv
 from benchmark_spmv_using_csr5_tpu.utils import synth
 
 
@@ -55,6 +55,35 @@ def test_hyb_unstructured_has_no_dia():
     np.testing.assert_allclose(
         y, a @ x, atol=2e-5 * max(1.0, np.abs(a @ x).max())
     )
+
+
+def test_hyb_spmm_mixed():
+    """Multi-rhs HYB: DIA and CSR5 halves each handle (n, R) inputs."""
+    a = _mixed_matrix(m=900)
+    h = build_hyb(_host(a))
+    assert h.dia is not None and h.csr5 is not None
+    rng = np.random.default_rng(3)
+    xm = rng.integers(1, 10, size=(a.shape[1], 4)).astype(np.float32)
+    y = np.asarray(hyb_spmm(h, xm, alpha=0.5, csr5_backend="xla", interpret=True))
+    y_ref = 0.5 * (a @ xm)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(
+        y, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max())
+    )
+
+
+def test_hyb_spmm_xla_dia_fallback_matches():
+    """dia_spmm_xla (the non-Pallas DIA path) agrees with the oracle."""
+    from benchmark_spmv_using_csr5_tpu.ops.dia import build_dia, dia_spmm_xla, dia_spmv_xla
+
+    a = sp.csr_matrix(synth.banded(700, 5, dtype=np.float32))
+    d = build_dia(_host(a))
+    rng = np.random.default_rng(4)
+    xm = rng.integers(1, 10, size=(700, 3)).astype(np.float32)
+    ym = np.asarray(dia_spmm_xla(d, xm))
+    np.testing.assert_allclose(ym, a @ xm, atol=1e-4)
+    yv = np.asarray(dia_spmv_xla(d, xm[:, 0], alpha=2.0))
+    np.testing.assert_allclose(yv, 2.0 * (a @ xm[:, 0]), atol=1e-4)
 
 
 def test_hyb_empty():
