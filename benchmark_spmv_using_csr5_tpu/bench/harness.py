@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AUTO_TUNED_SIGMA, CSR5Config, compute_sigma
-from ..models.formats import csr_from_numpy
+
 from ..ops.convert import build_csr5
 from ..ops.csr5_kernel import csr5_spmv_pallas, pallas_supported
 from ..ops.csr5_spmv import csr5_spmv_xla
@@ -141,7 +141,9 @@ def run_benchmark(
             dtype
         )  # main.cu:323-326
 
-    csr = csr_from_numpy(row_ptr, col_idx, values, shape)
+    # NOT csr_from_numpy: that would upload the whole CSR to the device
+    # just to read nnz (the kernels consume only the converted form)
+    nnz = int(row_ptr[-1])
     xd = jnp.asarray(x)
 
     # golden model (main.cu:336-355): sparse-aware host oracle
@@ -152,8 +154,25 @@ def run_benchmark(
 
     t0 = time.perf_counter()
     # pass host arrays directly: device readback over the tunnel is ~6 MB/s
-    cfg = CSR5Config(sigma=compute_sigma(m, csr.nnz, sigma))
-    if autotune and sigma == AUTO_TUNED_SIGMA:
+    cfg = CSR5Config(sigma=compute_sigma(m, nnz, sigma))
+    sliced = None
+    if (
+        num_rhs == 1
+        and backend in ("auto", "pallas-sliced")
+        and jax.default_backend() == "tpu"
+    ):
+        from ..ops.bigslice import build_csr5_sliced, should_slice
+
+        if should_slice(m, n) or backend == "pallas-sliced":
+            # beyond the whole-matrix VMEM residency cap: go straight to
+            # the row-sliced build (building the whole-matrix form first
+            # would double the seconds-scale conversion)
+            sliced = build_csr5_sliced(
+                (row_ptr, col_idx, values, shape), cfg
+            )
+    if sliced is not None:
+        a5 = sliced
+    elif autotune and sigma == AUTO_TUNED_SIGMA:
         # an explicitly requested sigma always wins over the re-tune
         from ..ops.convert import build_csr5_autotuned
 
@@ -180,6 +199,11 @@ def run_benchmark(
             spmv_fn = lambda a, xx: csr5_spmm_pallas(a, xx)  # noqa: E731
         else:
             spmv_fn = lambda a, xx: csr5_spmm_xla(a, xx)  # noqa: E731
+    elif sliced is not None:
+        from ..ops.bigslice import sliced_spmv
+
+        backend = "pallas-sliced"
+        spmv_fn = lambda a, xx: sliced_spmv(a, xx)  # noqa: E731
     else:
         if backend == "auto":
             backend = (
@@ -203,7 +227,7 @@ def run_benchmark(
     spmv_ms = time_spmv_device_loop(spmv_fn, xd, num_run, operands=a5)
     met = perf.spmv_metrics(
         m,
-        csr.nnz,
+        nnz,
         spmv_ms,
         dtype.itemsize,
         roofline_gbps=roofline_gbps,
@@ -214,7 +238,7 @@ def run_benchmark(
         name=name,
         m=m,
         n=n,
-        nnz=csr.nnz,
+        nnz=nnz,
         sigma=a5.sigma,
         dtype=str(dtype),
         backend=backend,

@@ -34,6 +34,8 @@ class SpMVHandle:
         self._format: Optional[Format] = None
         self._csr: Optional[CSRMatrix] = None
         self._csr5: Optional[CSR5Matrix] = None
+        self._csr5_sliced = None  # SlicedCSR5 beyond the VMEM cap
+        self._host_csr = None  # host-side (row_ptr, col_idx, values, shape)
         self._x: Optional[jax.Array] = None
         self._sigma: int = AUTO_TUNED_SIGMA
         self._backend: str = "auto"
@@ -51,6 +53,16 @@ class SpMVHandle:
         return self
 
     def input_csr(self, nnz: int, row_ptr, col_idx, values) -> "SpMVHandle":
+        if not isinstance(values, jax.Array):
+            # keep a host copy: conversion is host-side, and device->host
+            # readback over the tunnel is ~6 MB/s (NOTES.md) — big
+            # matrices must never round-trip through the device
+            self._host_csr = (
+                np.asarray(row_ptr, np.int64),
+                np.asarray(col_idx, np.int32),
+                np.asarray(values),
+                self.shape,
+            )
         row_ptr = jnp.asarray(row_ptr, jnp.int32)
         col_idx = jnp.asarray(col_idx, jnp.int32)
         values = jnp.asarray(values)
@@ -66,17 +78,33 @@ class SpMVHandle:
         if self._csr is None:
             raise ValueError("inputCSR first (Status.INVALID_HANDLE)")
         sigma = self.compute_sigma()
-        self._csr5 = build_csr5(self._csr, CSR5Config(sigma=sigma))
+        cfg = CSR5Config(sigma=sigma)
+        src = self._host_csr if self._host_csr is not None else self._csr
+        if jax.default_backend() == "tpu":
+            # beyond the whole-matrix VMEM residency cap, convert to the
+            # row-sliced form (ops/bigslice.py) instead of the whole-
+            # matrix CSR5 (whose Pallas kernel would be gated off)
+            from ..ops.bigslice import build_csr5_sliced, should_slice
+
+            if should_slice(*self.shape):
+                self._csr5_sliced = build_csr5_sliced(src, cfg)
+        if self._csr5_sliced is None:
+            self._csr5 = build_csr5(src, cfg)
         self._format = Format.CSR5
         return self
 
     def as_csr(self) -> "SpMVHandle":
         if self._format == Format.CSR:
             return self
-        if self._csr5 is None:
+        if self._csr5 is None and self._csr5_sliced is None:
             raise ValueError("asCSR5 first (Status.INVALID_HANDLE)")
-        self._csr = csr5_to_csr(self._csr5)
-        self._csr5 = None
+        if self._csr5_sliced is not None:
+            # the sliced form keeps the input CSR (host) alongside; the
+            # device CSRMatrix from input_csr is still authoritative
+            self._csr5_sliced = None
+        else:
+            self._csr = csr5_to_csr(self._csr5)
+            self._csr5 = None
         self._format = Format.CSR
         return self
 
@@ -112,7 +140,11 @@ class SpMVHandle:
         """y = alpha * A @ x (anonymouslib_cuda.h:262-285)."""
         if self._x is None:
             raise ValueError("setX first (Status.INVALID_HANDLE)")
-        if self._format == Format.CSR5:
+        if self._format == Format.CSR5 and self._csr5_sliced is not None:
+            from ..ops.bigslice import sliced_spmv
+
+            y = sliced_spmv(self._csr5_sliced, self._x, alpha)
+        elif self._format == Format.CSR5:
             y = csr5_spmv(self._csr5, self._x, alpha, backend=self._backend)
         elif self._format == Format.CSR:
             y = csr_spmv(self._csr, self._x, alpha)
@@ -130,6 +162,11 @@ class SpMVHandle:
             raise ValueError("X must be (n, R) (Status.INVALID_HANDLE)")
         if self._format != Format.CSR5:
             raise ValueError("asCSR5 first (Status.INVALID_HANDLE)")
+        if self._csr5 is None:
+            raise ValueError(
+                "SpMM on a VMEM-oversized (row-sliced) matrix is not "
+                "supported; run spmv per column (Status.UNSUPPORTED)"
+            )
         return csr5_spmm(self._csr5, x_mat, alpha, backend=self._backend)
 
     def destroy(self) -> int:
@@ -139,6 +176,8 @@ class SpMVHandle:
             self.as_csr()
         self._csr = None
         self._csr5 = None
+        self._csr5_sliced = None
+        self._host_csr = None
         self._x = None
         self._format = None
         return int(Status.SUCCESS)
