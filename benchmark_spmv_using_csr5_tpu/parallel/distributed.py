@@ -35,12 +35,20 @@ from ..ops.csr5_spmv import csr5_spmv_xla
 @struct.dataclass
 class DistributedCSR5:
     """Row-block-partitioned CSR5: every plan array gains a leading device
-    axis; statics are uniform across shards (padded to the max)."""
+    axis; statics are uniform across shards (padded to the max).
+
+    ``halo``: None => x is exchanged with a full ICI all-gather; (H_l, H_r)
+    => every shard was built over the column window
+    [d*n_per - H_l, (d+1)*n_per + H_r) and x is exchanged with two
+    neighbor ``ppermute`` halos instead (O(H) bytes, not O(n))."""
 
     shape: Tuple[int, int] = struct.field(pytree_node=False)
     config: CSR5Config = struct.field(pytree_node=False)
     num_devices: int = struct.field(pytree_node=False)
     rows_per_shard: int = struct.field(pytree_node=False)
+    halo: Optional[Tuple[int, int]] = struct.field(
+        pytree_node=False, default=None
+    )
     local: CSR5Matrix = None  # all leaves stacked: (D, ...)
 
     @property
@@ -50,6 +58,16 @@ class DistributedCSR5:
     @property
     def n(self) -> int:
         return self.shape[1]
+
+    def x_bytes_exchanged(self, itemsize: int = 4) -> int:
+        """Per-device x bytes received during one spmv: the observability
+        counter for the halo-vs-all-gather reduction (BASELINE "x-vector
+        halos via ICI")."""
+        D = self.num_devices
+        n_per = -(-self.n // D)
+        if self.halo is None:
+            return (D - 1) * n_per * itemsize  # all-gather receives
+        return (self.halo[0] + self.halo[1]) * itemsize
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
@@ -138,6 +156,37 @@ def _stack_shards(shards: Sequence[CSR5Matrix]) -> CSR5Matrix:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
 
 
+def _halo_widths(
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    m: int,
+    D: int,
+    rows_per: int,
+    n_per: int,
+) -> Optional[Tuple[int, int]]:
+    """(H_l, H_r) such that shard d only reads x columns inside
+    [d*n_per - H_l, (d+1)*n_per + H_r), or None when a single-hop halo
+    cannot cover the spread (H would exceed a neighbor shard)."""
+    hl = hr = 0
+    for d in range(D):
+        r0, r1 = d * rows_per, min((d + 1) * rows_per, m)
+        if r0 >= r1:
+            continue
+        lo, hi = int(row_ptr[r0]), int(row_ptr[r1])
+        if lo >= hi:
+            continue
+        cmin = int(col_idx[lo:hi].min())
+        cmax = int(col_idx[lo:hi].max())
+        hl = max(hl, d * n_per - cmin)
+        hr = max(hr, cmax + 1 - (d + 1) * n_per)
+    hl, hr = max(hl, 0), max(hr, 0)
+    if hl > n_per or hr > n_per:
+        return None  # needs columns beyond the nearest neighbor's shard
+    # round to the 128-lane grain so every shard's column window (and so
+    # its page structure) stays lane-aligned
+    return (-(-hl // 128) * 128, -(-hr // 128) * 128)
+
+
 def distribute_csr(
     row_ptr: np.ndarray,
     col_idx: np.ndarray,
@@ -145,17 +194,42 @@ def distribute_csr(
     shape: Tuple[int, int],
     mesh: Mesh,
     sigma: int = AUTO_TUNED_SIGMA,
+    halo: str = "none",
 ) -> DistributedCSR5:
     """Partition A into contiguous row blocks (one per mesh device) and
-    convert each block to CSR5 with uniform static shapes."""
+    convert each block to CSR5 with uniform static shapes.
+
+    ``halo``: "none" => shards address the full x (exchanged by
+    all-gather). "auto" => when the matrix's column spread allows a
+    single-hop halo cheaper than the gather (banded / stencil / RCM-
+    reordered), shards are built over per-device column windows and x is
+    exchanged with two neighbor ppermutes (see ``distributed_spmv``).
+    """
     m, n = shape
     D = mesh.devices.size
     rows_per = -(-m // D)
     sig = compute_sigma(m, len(values), sigma)
     cfg = CSR5Config(sigma=sig)
+    row_ptr = np.asarray(row_ptr)
+    col_idx = np.asarray(col_idx)
+
+    halo_wid = None
+    if halo == "auto" and D > 1:
+        n_per = -(-n // D)
+        hw = _halo_widths(row_ptr, col_idx, m, D, rows_per, n_per)
+        # only worth the window build when it moves fewer x bytes than
+        # the all-gather would
+        if hw is not None and hw[0] + hw[1] < (D - 1) * n_per:
+            halo_wid = hw
 
     shards = []
     for d in range(D):
+        if halo_wid is not None:
+            n_per = -(-n // D)
+            c0 = d * n_per - halo_wid[0]
+            n_loc = n_per + halo_wid[0] + halo_wid[1]
+        else:
+            c0, n_loc = 0, n
         r0, r1 = d * rows_per, min((d + 1) * rows_per, m)
         if r0 >= m:
             # empty shard: one padded tile
@@ -163,15 +237,18 @@ def distribute_csr(
                 np.zeros(rows_per + 1, np.int32),
                 np.zeros(0, np.int32),
                 np.zeros(0, values.dtype),
-                (rows_per, n),
+                (rows_per, n_loc),
             )
         else:
             lo, hi = int(row_ptr[r0]), int(row_ptr[r1])
             lrp = np.zeros(rows_per + 1, dtype=np.int64)
             lrp[: r1 - r0 + 1] = np.asarray(row_ptr[r0 : r1 + 1]) - lo
             lrp[r1 - r0 + 1 :] = lrp[r1 - r0]
+            cols = col_idx[lo:hi]
+            if c0:
+                cols = cols - np.int32(c0)
             local = csr_from_numpy(
-                lrp, col_idx[lo:hi], values[lo:hi], (rows_per, n)
+                lrp, cols, values[lo:hi], (rows_per, n_loc)
             )
         # aligned window maps: shards must share one window anchoring to
         # stack (a shard with small row spans would otherwise pick the
@@ -189,6 +266,7 @@ def distribute_csr(
         config=cfg,
         num_devices=D,
         rows_per_shard=rows_per,
+        halo=halo_wid,
         local=stacked,
     )
 
@@ -206,11 +284,31 @@ def distributed_spmv(
     D = da.num_devices
     n_per = -(-da.n // D)
     x_pad = jnp.zeros(n_per * D, x.dtype).at[: da.n].set(x)
+    halo = da.halo
 
     def local_step(local_a5: CSR5Matrix, x_shard: jax.Array) -> jax.Array:
         # squeeze the leading device axis shard_map leaves on each leaf
         a5 = jax.tree.map(lambda a: a[0], local_a5)
-        x_full = jax.lax.all_gather(x_shard, axis, tiled=True)[: da.n]
+        if halo is not None:
+            # neighbor halos over ICI: O(H) bytes instead of the O(n)
+            # all-gather; shard d was built over the column window
+            # [d*n_per - H_l, (d+1)*n_per + H_r), so its x is
+            # [left tail | own shard | right head]. Edge devices receive
+            # ppermute's zero-fill, matching the window's zero padding.
+            h_l, h_r = halo
+            from_left = jax.lax.ppermute(
+                x_shard[n_per - h_l :] if h_l else x_shard[:0],
+                axis,
+                [(i, i + 1) for i in range(D - 1)],
+            )
+            from_right = jax.lax.ppermute(
+                x_shard[:h_r],
+                axis,
+                [(i + 1, i) for i in range(D - 1)],
+            )
+            x_full = jnp.concatenate([from_left, x_shard, from_right])
+        else:
+            x_full = jax.lax.all_gather(x_shard, axis, tiled=True)[: da.n]
         if backend in ("pallas", "pallas_interpret"):
             from ..ops.csr5_kernel import csr5_spmv_pallas
 
@@ -252,6 +350,10 @@ def distributed_spmm(
     within the single-kernel cap (16) — a mesh of D devices therefore
     serves up to 16*D right-hand sides.
     """
+    if da.halo is not None:
+        raise ValueError(
+            "distributed_spmm needs full-x shards; build with halo='none'"
+        )
     axis = mesh.axis_names[0]
     D = da.num_devices
     n, R = xm.shape[0], xm.shape[1]

@@ -136,3 +136,45 @@ def test_distributed_spmm_ragged_rhs():
     np.testing.assert_allclose(
         ym, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max())
     )
+
+
+def test_halo_exchange_matches_allgather():
+    """Banded matrix: halo='auto' builds column-window shards and two
+    neighbor ppermutes replace the all-gather, with identical results and
+    an x-bytes-exchanged reduction (VERDICT round-1 item 9)."""
+    a_sp = sp.csr_matrix(synth.banded(4096, 9, dtype=np.float32))
+    mesh = make_mesh(8)
+    x = np.random.default_rng(0).integers(1, 10, 4096).astype(np.float32)
+    da_full = distribute_csr(
+        a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh
+    )
+    da_halo = distribute_csr(
+        a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh, halo="auto"
+    )
+    assert da_halo.halo is not None
+    h_l, h_r = da_halo.halo
+    assert h_l <= 128 and h_r <= 128  # bandwidth 9 rounds to one lane-block
+    # the observability counter: halos move far fewer x bytes per device
+    assert (
+        da_halo.x_bytes_exchanged() < da_full.x_bytes_exchanged() // 4
+    )
+    y_full = np.asarray(
+        jax.jit(lambda xx: distributed_spmv(da_full, xx, mesh))(jnp.asarray(x))
+    )
+    y_halo = np.asarray(
+        jax.jit(lambda xx: distributed_spmv(da_halo, xx, mesh))(jnp.asarray(x))
+    )
+    y_ref = a_sp @ x
+    np.testing.assert_allclose(y_full, y_ref, rtol=1e-5)
+    np.testing.assert_allclose(y_halo, y_ref, rtol=1e-5)
+
+
+def test_halo_rejected_for_scattered():
+    """Uniform-random columns: the halo would span the whole row of
+    devices, so 'auto' must fall back to the all-gather form."""
+    a_sp = synth.random_csr(1024, 1024, 0.02, dtype=np.float32)
+    mesh = make_mesh(8)
+    da = distribute_csr(
+        a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh, halo="auto"
+    )
+    assert da.halo is None
