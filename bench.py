@@ -41,6 +41,7 @@ CASES = [
     "dia_tridiag500k",
     "banded2M",
     "banded20M",  # row-sliced path: beyond the whole-matrix VMEM cap
+    "df64_banded500k",  # double-single f64 kernel + accuracy report
     "mtx_lap2d_490k",
     "mtx_powlaw300k",
     "scrambled300k",

@@ -34,6 +34,20 @@ _DATA_DIR = os.path.join(
 )
 
 
+def _f64_banded(m, bw, seed=0):
+    """Banded with full-precision f64 values (non-dyadic, 3-decade
+    spread): integer values would be exact in f32 and hide the df64
+    kernel's precision story."""
+    import scipy.sparse as sp
+
+    from ..utils import synth
+
+    a = sp.csr_matrix(synth.banded(m, bw, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    a.data = rng.uniform(0.1, 1.0, a.nnz) * 10.0 ** rng.integers(-1, 2, a.nnz)
+    return a
+
+
 def _scrambled_band(m, bw, span, seed=0):
     """A scattered band hidden behind a random symmetric permutation —
     the 'badly ordered circuit matrix' shape RCM is for."""
@@ -77,6 +91,12 @@ def _suite():
         # reference's any-size coverage, csr5_spmv_cuda.h:275-311)
         "banded20M": (
             lambda: synth.banded(20_000_000, 5, dtype=np.float32), 1, 100, False, None,
+        ),
+        # the reference's default dtype (double, Makefile:4): the
+        # double-single Pallas kernel with full-precision values; the
+        # reported max_rel_err vs the f64 oracle is the accuracy story
+        "df64_banded500k": (
+            lambda: _f64_banded(500_000, 27), 1, 100, False, None,
         ),
         # raw vs RCM side-by-side (the --reorder story, VERDICT item 10)
         "scrambled300k": (

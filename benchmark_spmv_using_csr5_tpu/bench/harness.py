@@ -155,9 +155,25 @@ def run_benchmark(
     t0 = time.perf_counter()
     # pass host arrays directly: device readback over the tunnel is ~6 MB/s
     cfg = CSR5Config(sigma=compute_sigma(m, nnz, sigma))
+    df64 = None
+    if (
+        dtype == np.float64
+        and num_rhs == 1
+        and backend in ("auto", "pallas-df64")
+        and jax.default_backend() == "tpu"
+    ):
+        # f64 on a TPU without native f64: the double-single kernel
+        # (ops/csr5_df64.py). The XLA fallback would silently downcast
+        # (x64 off on the real chip), so this is the only honest path.
+        from ..ops.csr5_df64 import build_df64, df64_supported
+
+        dd = build_df64((row_ptr, col_idx, values, shape), cfg)
+        if df64_supported(dd):
+            df64 = dd
     sliced = None
     if (
-        num_rhs == 1
+        df64 is None
+        and num_rhs == 1
         and backend in ("auto", "pallas-sliced")
         and jax.default_backend() == "tpu"
     ):
@@ -170,7 +186,9 @@ def run_benchmark(
             sliced = build_csr5_sliced(
                 (row_ptr, col_idx, values, shape), cfg
             )
-    if sliced is not None:
+    if df64 is not None:
+        a5 = df64
+    elif sliced is not None:
         a5 = sliced
     elif autotune and sigma == AUTO_TUNED_SIGMA:
         # an explicitly requested sigma always wins over the re-tune
@@ -199,6 +217,15 @@ def run_benchmark(
             spmv_fn = lambda a, xx: csr5_spmm_pallas(a, xx)  # noqa: E731
         else:
             spmv_fn = lambda a, xx: csr5_spmm_xla(a, xx)  # noqa: E731
+    elif df64 is not None:
+        from ..ops.csr5_df64 import df64_spmv, split_f64
+
+        backend = "pallas-df64"
+        xh, xl = split_f64(x)
+        xd = jnp.asarray(xh)  # the timed loop perturbs the hi plane
+        xl_dev = jnp.asarray(xl)
+        # operands carry (plan, x_lo); the loop threads x_hi
+        spmv_fn = lambda ops, xx: df64_spmv(ops[0], (xx, ops[1]))[0]  # noqa: E731
     elif sliced is not None:
         from ..ops.bigslice import sliced_spmv
 
@@ -217,14 +244,21 @@ def run_benchmark(
             spmv_fn = lambda a, xx: csr5_spmv_xla(a, xx)  # noqa: E731
 
     # correctness at the reference tolerance (main.cu:361-384)
-    y = np.asarray(jax.device_get(spmv_fn(a5, xd)))
+    if df64 is not None:
+        from ..ops.csr5_df64 import df64_combine, df64_spmv
+
+        operands = (a5, xl_dev)
+        y = df64_combine(*jax.device_get(df64_spmv(a5, (xd, xl_dev))))
+    else:
+        operands = a5
+        y = np.asarray(jax.device_get(spmv_fn(a5, xd)))
     denom = np.maximum(np.abs(y_ref), 1e-30)
     rel = np.abs(y - y_ref) / denom
     rel[np.abs(y - y_ref) < 1e-6 * max(1.0, np.abs(y_ref).max())] = 0.0
     max_rel = float(rel.max()) if rel.size else 0.0
     check_ok = bool(max_rel <= 0.01)
 
-    spmv_ms = time_spmv_device_loop(spmv_fn, xd, num_run, operands=a5)
+    spmv_ms = time_spmv_device_loop(spmv_fn, xd, num_run, operands=operands)
     met = perf.spmv_metrics(
         m,
         nnz,
