@@ -412,23 +412,56 @@ def build_csr5(
 
     _mark("tpu_plan")
     # --- AoS->SoA tile transpose (format_cuda.h:525-744) ----------------
-    # performed ON DEVICE and LAST: materialising the strided numpy view
-    # costs ~13 s per 56 MB plane, and issuing the async device upload
-    # earlier starves the (single-core) host numpy work behind it
-    col_tiles = jnp.swapaxes(
-        jnp.asarray(col_flat, jnp.int32).reshape(p_pad, omega, sig), 1, 2
-    )  # (p, sig, om)
-    val_tiles = jnp.swapaxes(
-        jnp.asarray(val_flat).reshape(p_pad, omega, sig), 1, 2
-    )
+    # done in native C++ on host, then uploaded in final layout: numpy's
+    # strided copy of this permutation costs ~13 s per 56 MB plane on the
+    # 1-vCPU host, and the former on-device swapaxes paid an XLA relayout
+    # compile per shape plus tunnel dispatches. Uploads are issued LAST
+    # (async uploads starve the single-core host numpy behind them).
+    from ..utils import nativelib
+
+    # resolve the stored value dtype up front, mirroring what
+    # jnp.asarray(...).astype(value_dtype) produced on device: f64 narrows
+    # to f32 when x64 is off; value_dtype (e.g. bfloat16) overrides.
     if value_dtype is not None:
-        val_tiles = val_tiles.astype(value_dtype)
+        vdt = np.dtype(value_dtype)  # ml_dtypes types are numpy-compatible
+    elif val_flat.dtype == np.float64 and not jax.config.jax_enable_x64:
+        vdt = np.dtype(np.float32)
+    else:
+        vdt = val_flat.dtype
+    val_cast = val_flat if val_flat.dtype == vdt else val_flat.astype(vdt)
+
+    col_tr = nativelib.tile_transpose(col_flat, p_pad, sig, omega)
+    val_tr = nativelib.tile_transpose(val_cast, p_pad, sig, omega)
+    pk_tr = (
+        nativelib.pack_col16(col16, p_pad, sig, omega)
+        if col16 is not None
+        else None
+    )
+    if col_tr is not None:
+        col_tiles = jnp.asarray(col_tr)  # (p, sig, om), pure upload
+    else:
+        col_tiles = jnp.swapaxes(
+            jnp.asarray(col_flat, jnp.int32).reshape(p_pad, omega, sig), 1, 2
+        )
+    if val_tr is not None:
+        val_tiles = jnp.asarray(val_tr)
+    else:
+        val_tiles = jnp.swapaxes(
+            jnp.asarray(val_flat).reshape(p_pad, omega, sig), 1, 2
+        )
+        if value_dtype is not None:
+            val_tiles = val_tiles.astype(value_dtype)
     col_packed = None
     if col16 is not None:
-        # combine sigma-row pairs (s, s+sigma/2) into one int32 on device
-        c32 = jnp.asarray(col16).reshape(p_pad, omega, sig).astype(jnp.int32)
-        s2 = sig // 2
-        col_packed = jnp.swapaxes(c32[:, :, :s2] | (c32[:, :, s2:] << 16), 1, 2)
+        if pk_tr is not None:
+            col_packed = jnp.asarray(pk_tr)
+        else:
+            # combine sigma-row pairs (s, s+sigma/2) into int32 on device
+            c32 = jnp.asarray(col16).reshape(p_pad, omega, sig).astype(jnp.int32)
+            s2 = sig // 2
+            col_packed = jnp.swapaxes(
+                c32[:, :, :s2] | (c32[:, :, s2:] << 16), 1, 2
+            )
     _mark("transpose")
     last_convert_phases.clear()
     last_convert_phases.update(_ph)

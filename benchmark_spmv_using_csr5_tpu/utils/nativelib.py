@@ -103,6 +103,8 @@ def _try_load() -> Optional[ctypes.CDLL]:
             lib.csr5_page_lists.restype = None
             lib.csr5_col_local.restype = None
             lib.mm_write_csr.restype = ctypes.c_int32
+            lib.csr5_tile_transpose.restype = ctypes.c_int32
+            lib.csr5_pack_col16.restype = None
         except AttributeError:
             # a symbol is missing (stale .so without a toolchain to
             # rebuild): treat the library as unavailable so every caller
@@ -302,6 +304,58 @@ def write_matrix_market(
     if rc != 0:
         raise OSError(f"mm_write_csr({path}) failed")
     return True
+
+
+def tile_transpose(
+    flat: np.ndarray, p: int, sigma: int, omega: int
+) -> Optional[np.ndarray]:
+    """AoS->SoA tile transpose on host: flat ``(p*omega*sigma,)`` element-
+    order array -> ``(p, sigma, omega)`` (format_cuda.h:525-744 parity).
+
+    Returns None when the native library is unavailable or the dtype
+    width is unsupported; callers then keep the on-device swapaxes path.
+    """
+    lib = _try_load()
+    if lib is None:
+        return None
+    esize = flat.dtype.itemsize
+    if esize not in (2, 4, 8):
+        return None
+    flat = np.ascontiguousarray(flat)
+    out = np.empty((p, sigma, omega), flat.dtype)
+    rc = lib.csr5_tile_transpose(
+        ctypes.c_int64(p),
+        ctypes.c_int64(omega),
+        ctypes.c_int64(sigma),
+        ctypes.c_int64(esize),
+        flat.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out if rc == 0 else None
+
+
+def pack_col16(
+    col16: np.ndarray, p: int, sigma: int, omega: int
+) -> Optional[np.ndarray]:
+    """uint16 lane|local codes (flat element order) -> packed int32
+    ``(p, sigma/2, omega)`` plane pairing sigma-rows (s, s + sigma/2).
+
+    None when the native library is unavailable (callers fall back to the
+    on-device combine).
+    """
+    lib = _try_load()
+    if lib is None:
+        return None
+    col16 = np.ascontiguousarray(col16, np.uint16)
+    out = np.empty((p, sigma // 2, omega), np.int32)
+    lib.csr5_pack_col16(
+        ctypes.c_int64(p),
+        ctypes.c_int64(omega),
+        ctypes.c_int64(sigma),
+        col16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
 
 
 def tile_partition_pointer(

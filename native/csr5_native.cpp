@@ -369,6 +369,76 @@ void csr5_col_local(int64_t p, int64_t tile_nnz, const int32_t* col_flat,
   }
 }
 
+}  // extern "C"
+
+// AoS->SoA tile transpose (format_cuda.h:525-744 parity), host-side:
+// src (p, omega, sigma) element order -> dst (p, sigma, omega). Done in
+// C++ because numpy's strided copy of this permutation page-faults for
+// seconds on the 1-vCPU host, and doing it on device costs an XLA
+// relayout compile per shape; each (omega*sigma*esize <= 32 KB) tile is
+// L1-resident so the strided reads are cheap.
+template <typename T>
+static void transpose_tiles_t(int64_t p, int64_t omega, int64_t sigma,
+                              const T* src, T* dst) {
+  for (int64_t t = 0; t < p; ++t) {
+    const T* s = src + t * omega * sigma;
+    T* d = dst + t * omega * sigma;
+    for (int64_t ss = 0; ss < sigma; ++ss) {
+      const T* srow = s + ss;
+      T* drow = d + ss * omega;
+      for (int64_t l = 0; l < omega; ++l) drow[l] = srow[l * sigma];
+    }
+  }
+}
+
+extern "C" {
+
+// esize in {2, 4, 8}; returns 0 on success, -1 on unsupported esize
+int32_t csr5_tile_transpose(int64_t p, int64_t omega, int64_t sigma,
+                            int64_t esize, const void* src, void* dst) {
+  switch (esize) {
+    case 2:
+      transpose_tiles_t(p, omega, sigma, static_cast<const uint16_t*>(src),
+                        static_cast<uint16_t*>(dst));
+      return 0;
+    case 4:
+      transpose_tiles_t(p, omega, sigma, static_cast<const uint32_t*>(src),
+                        static_cast<uint32_t*>(dst));
+      return 0;
+    case 8:
+      transpose_tiles_t(p, omega, sigma, static_cast<const uint64_t*>(src),
+                        static_cast<uint64_t*>(dst));
+      return 0;
+    default:
+      return -1;
+  }
+}
+
+// Stream-compressed column-plane combine: uint16 lane|local<<7 codes in
+// (p, omega, sigma) element order -> int32 (p, sigma/2, omega) words
+// pairing sigma-rows (s, s + sigma/2):  word = lo | hi << 16. Matches the
+// former on-device combine in ops/convert.py (sigma must be even).
+void csr5_pack_col16(int64_t p, int64_t omega, int64_t sigma,
+                     const uint16_t* src, int32_t* dst) {
+  const int64_t s2 = sigma / 2;
+  for (int64_t t = 0; t < p; ++t) {
+    const uint16_t* s = src + t * omega * sigma;
+    int32_t* d = dst + t * s2 * omega;
+    for (int64_t ss = 0; ss < s2; ++ss) {
+      const uint16_t* lo = s + ss;
+      const uint16_t* hi = s + s2 + ss;
+      int32_t* drow = d + ss * omega;
+      for (int64_t l = 0; l < omega; ++l)
+        drow[l] = static_cast<int32_t>(lo[l * sigma]) |
+                  (static_cast<int32_t>(hi[l * sigma]) << 16);
+    }
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Matrix Market coordinate writer (mm_write_* parity, mmio.h:29-31 --
 // declared-but-unused in the reference; used here by the benchmark's
 // real-matrix generation, where the Python per-line loop is ~50x slower

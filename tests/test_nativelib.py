@@ -87,3 +87,34 @@ def test_native_tile_ptr_matches_python():
     tp = nativelib.tile_partition_pointer(a_sp.indptr.astype(np.int64), p, T)
     assert tp is not None
     np.testing.assert_array_equal(tp, np.asarray(a5.tile_ptr))
+
+
+def test_native_tile_transpose_matches_numpy():
+    rng = np.random.default_rng(3)
+    for p, sig, om, dt in [
+        (7, 24, 128, np.int32),
+        (3, 16, 128, np.float32),
+        (5, 8, 128, np.float64),
+        (4, 32, 128, np.uint16),
+    ]:
+        flat = rng.integers(0, 1000, p * om * sig).astype(dt)
+        out = nativelib.tile_transpose(flat, p, sig, om)
+        assert out is not None
+        np.testing.assert_array_equal(out, flat.reshape(p, om, sig).swapaxes(1, 2))
+
+
+def test_native_pack_col16_matches_numpy():
+    rng = np.random.default_rng(4)
+    p, sig, om = 6, 16, 128
+    c16 = rng.integers(0, 65536, p * om * sig).astype(np.uint16)
+    out = nativelib.pack_col16(c16, p, sig, om)
+    assert out is not None
+    c32 = c16.reshape(p, om, sig).astype(np.int64)
+    s2 = sig // 2
+    ref = (
+        (c32[:, :, :s2] | (c32[:, :, s2:] << 16))
+        .astype(np.uint32)
+        .view(np.int32)
+        .swapaxes(1, 2)
+    )
+    np.testing.assert_array_equal(out, ref)
