@@ -293,6 +293,7 @@ def plan_statics(
     col_idx: np.ndarray,
     shape,
     config: Optional[CSR5Config] = None,
+    win_mode: str = "auto",
 ) -> PlanStatics:
     """The tiny host pre-pass sizing the static plan parameters.
 
@@ -313,7 +314,13 @@ def plan_statics(
     bounds = np.arange(p_pad + 1, dtype=np.int64) * T
     tile_ptr = np.clip(np.searchsorted(row_ptr, bounds, side="right") - 1, 0, m)
     span_max = int((tile_ptr[1:] - tile_ptr[:-1]).max())
-    capw = -(-(span_max + 1) // 128) * 128
+    win_rel = win_mode != "aligned"
+    if win_rel:
+        capw = -(-(span_max + 1) // 128) * 128
+    else:  # aligned maps (the distributed layer's stackable mode)
+        capw = 128
+        while capw < span_max + 1 + 128:
+            capw *= 2
 
     n_pad = -(-max(n, 1) // PAGE_COLS) * PAGE_COLS
     page_sentinel = n_pad // PAGE_COLS
@@ -360,7 +367,7 @@ def plan_statics(
         capw=capw,
         pmax=pmax,
         pages_contig=contig,
-        win_rel=True,
+        win_rel=win_rel,
         tail_row_start=int(tile_ptr[p - 1]),
         eo_width=eo_width,
         m=m,

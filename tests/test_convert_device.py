@@ -125,3 +125,24 @@ def test_device_built_matrix_runs():
     if pallas_supported(dev):
         y_pl = np.asarray(csr5_spmv_pallas(dev, x, interpret=True))
         np.testing.assert_allclose(y_pl, y_ref, atol=2e-5 * scale)
+
+
+def test_device_build_aligned_mode():
+    # the distributed layer's stackable window anchoring
+    from benchmark_spmv_using_csr5_tpu import build_csr5 as _b
+
+    a_sp = sp.csr_matrix(CASES["banded"]()).astype(np.float32)
+    host = _b(csr_from_scipy(a_sp), win_mode="aligned")
+    statics = plan_statics(
+        a_sp.indptr, a_sp.indices, a_sp.shape, win_mode="aligned"
+    )
+    dev = build_csr5_device(
+        jnp.asarray(a_sp.indptr, jnp.int64),
+        jnp.asarray(a_sp.indices, jnp.int32),
+        jnp.asarray(a_sp.data),
+        statics,
+    )
+    assert not dev.win_rel and dev.capw == host.capw
+    np.testing.assert_array_equal(
+        np.asarray(dev.win_map), np.asarray(host.win_map)
+    )
