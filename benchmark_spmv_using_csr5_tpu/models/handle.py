@@ -163,10 +163,11 @@ class SpMVHandle:
         if self._format != Format.CSR5:
             raise ValueError("asCSR5 first (Status.INVALID_HANDLE)")
         if self._csr5 is None:
-            raise ValueError(
-                "SpMM on a VMEM-oversized (row-sliced) matrix is not "
-                "supported; run spmv per column (Status.UNSUPPORTED)"
-            )
+            # VMEM-oversized matrix held in row-sliced form: the sliced
+            # SpMM path windows X per slice (ops/bigslice.sliced_spmm).
+            from ..ops.bigslice import sliced_spmm
+
+            return sliced_spmm(self._csr5_sliced, x_mat, alpha)
         return csr5_spmm(self._csr5, x_mat, alpha, backend=self._backend)
 
     def destroy(self) -> int:

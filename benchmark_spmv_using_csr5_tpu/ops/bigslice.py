@@ -149,6 +149,7 @@ def build_csr5_sliced(
     sigma: int = AUTO_TUNED_SIGMA,
     value_dtype=None,
     elem_cap: Optional[int] = None,
+    num_rhs: int = 1,
 ) -> Optional[SlicedCSR5]:
     """CSR -> row-sliced CSR5 for matrices beyond the VMEM residency cap.
 
@@ -156,12 +157,15 @@ def build_csr5_sliced(
     windows (fully scattered rows at huge n) — callers then fall back to
     the XLA executor. ``elem_cap`` overrides the per-slice f32-element
     budget (tests use a tiny cap to force multi-slice builds).
+    ``num_rhs > 1`` shrinks the per-slice budget so the SpMM kernel's
+    per-rhs x windows and y blocks still fit (:func:`sliced_spmm`).
     """
     row_ptr, col_idx, values, (m, n) = _as_host_csr(csr)
     nnz = int(values.shape[0])
     if config is None:
         config = CSR5Config(sigma=compute_sigma(m, nnz, sigma))
     cap = elem_cap if elem_cap is not None else _SLICE_ELEM_CAP
+    cap = cap // max(1, num_rhs)
     bounds = _slice_bounds(row_ptr, col_idx, m, cap)
     if bounds is None:
         return None
@@ -214,6 +218,38 @@ def sliced_spmv(
     the per-slice Pallas kernels sequentially (uniform slices share one
     Mosaic binary) and concatenating the slice outputs."""
     return _sliced_spmv_jit(sl, x, alpha, interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _sliced_spmm_jit(sl: SlicedCSR5, xm, alpha, interpret: bool):
+    from .csr5_kernel import csr5_spmm_pallas, pallas_spmm_supported
+    from .csr5_spmv import csr5_spmm_xla
+
+    xs = xm * jnp.asarray(alpha, xm.dtype)
+    outs = []
+    for a5, c0 in zip(sl.slices, sl.col_starts):
+        xk = jax.lax.slice(
+            xs, (c0, 0), (min(c0 + a5.n, sl.n), xm.shape[1])
+        )
+        if xk.shape[0] < a5.n:  # window pads past n (page alignment)
+            xk = jnp.pad(xk, ((0, a5.n - xk.shape[0]), (0, 0)))
+        use_pallas = pallas_spmm_supported(a5, xm.shape[1]) and (
+            interpret or jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            outs.append(csr5_spmm_pallas(a5, xk, interpret=interpret))
+        else:
+            outs.append(csr5_spmm_xla(a5, xk))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def sliced_spmm(
+    sl: SlicedCSR5, x_mat: jax.Array, alpha=1.0, interpret: bool = False
+) -> jax.Array:
+    """Y = alpha * A @ X over the row slices (X is (n, R)); one jitted
+    dispatch. Build the sliced form with ``num_rhs=R`` so each slice's
+    windows were sized for the R-fold x/y residency."""
+    return _sliced_spmm_jit(sl, x_mat, alpha, interpret)
 
 
 def should_slice(m: int, n: int) -> bool:

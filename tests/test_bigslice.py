@@ -91,3 +91,20 @@ def test_slice_bounds_cover_all_rows():
 def test_should_slice_threshold():
     assert not should_slice(500_000, 500_000)
     assert should_slice(40_000_000, 40_000_000)
+
+
+def test_sliced_spmm_matches_oracle():
+    from benchmark_spmv_using_csr5_tpu.ops.bigslice import sliced_spmm
+
+    a = sp.csr_matrix(synth.banded(3000, 9, dtype=np.float32))
+    sl = build_csr5_sliced(
+        (a.indptr, a.indices, a.data, a.shape), elem_cap=8000, num_rhs=4
+    )
+    assert sl is not None and sl.num_slices >= 2
+    rng = np.random.default_rng(1)
+    xm = rng.integers(1, 10, size=(a.shape[1], 4)).astype(np.float32)
+    y = np.asarray(sliced_spmm(sl, xm, alpha=1.5, interpret=True))
+    y_ref = 1.5 * (a @ xm)
+    np.testing.assert_allclose(
+        y, y_ref, atol=1e-4 * max(1.0, np.abs(y_ref).max())
+    )
