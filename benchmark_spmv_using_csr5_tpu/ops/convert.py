@@ -269,19 +269,33 @@ def build_csr5(
     tail_row_start = int(tile_ptr[p - 1])
 
     _mark("tile_ptr")
-    # --- bit flags (format_cuda.h:129-159) ------------------------------
-    heads = np.zeros(nnz_pad, dtype=bool)
-    nonempty = np.diff(row_ptr) > 0
-    heads[row_ptr[:-1][nonempty]] = True
-    # forced tile-leading bit (format_cuda.h:171-175)
-    heads_forced = heads.copy()
-    heads_forced[np.arange(p_pad) * T] = True
+    from ..utils import nativelib
 
-    # element order within a tile is lane-major: flat index t*T + l*sig + s
-    bit_flag, y_offset, seg_offset, nseg = _descriptor(heads_forced, p_pad, sig, omega)
-
-    # --- empty-row indirection (format_cuda.h:269-523) ------------------
-    eo_ptr, eo = _empty_offsets(row_ptr, heads_forced, dirty, tile_ptr[:-1], nseg, p_pad, T)
+    # --- bit flags + descriptor (format_cuda.h:129-267) -----------------
+    # native single row-walk when available (the numpy path materialises
+    # an nnz_pad bool heads plane + packbits passes, ~180 ms / 14M nnz on
+    # this 1-vCPU host); element order in a tile is lane-major:
+    # flat index t*T + l*sig + s
+    nd = nativelib.descriptor(row_ptr, p_pad, sig, omega)
+    if nd is not None:
+        bit_flag, y_offset, seg_offset, nseg = nd
+        eo_ptr, eo = nativelib.empty_offsets(
+            row_ptr, tile_ptr[:-1], dirty, nseg, p_pad, T
+        )
+    else:
+        heads = np.zeros(nnz_pad, dtype=bool)
+        nonempty = np.diff(row_ptr) > 0
+        heads[row_ptr[:-1][nonempty]] = True
+        # forced tile-leading bit (format_cuda.h:171-175)
+        heads_forced = heads.copy()
+        heads_forced[np.arange(p_pad) * T] = True
+        bit_flag, y_offset, seg_offset, nseg = _descriptor(
+            heads_forced, p_pad, sig, omega
+        )
+        # --- empty-row indirection (format_cuda.h:269-523) --------------
+        eo_ptr, eo = _empty_offsets(
+            row_ptr, heads_forced, dirty, tile_ptr[:-1], nseg, p_pad, T
+        )
 
     _mark("tile_desc")
     # --- TPU execution plan (NOTES.md) ----------------------------------

@@ -105,6 +105,8 @@ def _try_load() -> Optional[ctypes.CDLL]:
             lib.mm_write_csr.restype = ctypes.c_int32
             lib.csr5_tile_transpose.restype = ctypes.c_int32
             lib.csr5_pack_col16.restype = None
+            lib.csr5_descriptor.restype = None
+            lib.csr5_empty_offsets.restype = None
         except AttributeError:
             # a symbol is missing (stale .so without a toolchain to
             # rebuild): treat the library as unavailable so every caller
@@ -304,6 +306,72 @@ def write_matrix_market(
     if rc != 0:
         raise OSError(f"mm_write_csr({path}) failed")
     return True
+
+
+def descriptor(
+    row_ptr: np.ndarray, p: int, sigma: int, omega: int
+) -> Optional[tuple]:
+    """Native CSR5 partition descriptor (format_cuda.h:129-267 parity):
+    (bit_flag (p,nw,omega) u32, y_offset, seg_offset (p,omega) i32,
+    nseg (p,) i64), or None when the library is unavailable."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    m = row_ptr.shape[0] - 1
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    nwords = (sigma + 31) // 32
+    bit_flag = np.empty((p, nwords, omega), np.uint32)
+    y_offset = np.empty((p, omega), np.int32)
+    seg_offset = np.empty((p, omega), np.int32)
+    nseg = np.empty(p, np.int64)
+    lib.csr5_descriptor(
+        ctypes.c_int64(m),
+        ctypes.c_int64(p),
+        ctypes.c_int64(sigma),
+        ctypes.c_int64(omega),
+        row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bit_flag.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        y_offset.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        seg_offset.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nseg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return bit_flag, y_offset, seg_offset, nseg
+
+
+def empty_offsets(
+    row_ptr: np.ndarray,
+    tile_ptr: np.ndarray,
+    dirty: np.ndarray,
+    nseg: np.ndarray,
+    p: int,
+    tile_nnz: int,
+) -> Optional[tuple]:
+    """Native empty-row indirection table (format_cuda.h:362-523 parity):
+    (eo_ptr (p+1,) i32, eo (total,) i32), or None when unavailable."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    m = row_ptr.shape[0] - 1
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    tile_ptr = np.ascontiguousarray(tile_ptr, np.int32)
+    dirty8 = np.ascontiguousarray(dirty, np.uint8)
+    counts = np.where(dirty, nseg, 0).astype(np.int64)
+    eo_ptr = np.zeros(p + 1, dtype=np.int64)
+    np.cumsum(counts, out=eo_ptr[1:])
+    total = int(eo_ptr[-1])
+    eo = np.empty(total, np.int32)
+    if total:
+        lib.csr5_empty_offsets(
+            ctypes.c_int64(m),
+            ctypes.c_int64(p),
+            ctypes.c_int64(tile_nnz),
+            row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            tile_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            dirty8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            eo_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            eo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    return eo_ptr.astype(np.int32), eo
 
 
 def tile_transpose(

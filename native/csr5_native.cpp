@@ -369,6 +369,86 @@ void csr5_col_local(int64_t p, int64_t tile_nnz, const int32_t* col_flat,
   }
 }
 
+// CSR5 partition descriptor (format_cuda.h:129-267 parity), host-side:
+// one walk over rows computes, per tile, the packed bit_flag words
+// (head bits along sigma, little-endian within each 32-bit word),
+// y_offset (exclusive per-lane segment-count prefix), seg_offset
+// (distance-1 to the next flagged lane right, omega-l-1 if none) and
+// nseg (total segments). Element (t, s, l) = flat t*T + l*sigma + s.
+void csr5_descriptor(int64_t m, int64_t p, int64_t sigma, int64_t omega,
+                     const int64_t* row_ptr, uint32_t* bit_flag,
+                     int32_t* y_offset, int32_t* seg_offset, int64_t* nseg) {
+  const int64_t T = sigma * omega;
+  const int64_t nwords = (sigma + 31) / 32;
+  const int64_t nnz_pad = p * T;
+  std::vector<int32_t> lane_cnt(static_cast<size_t>(omega));
+  int64_t r = 0;  // row cursor over head positions
+  for (int64_t t = 0; t < p; ++t) {
+    uint32_t* bf = bit_flag + t * nwords * omega;  // (nwords, omega)
+    std::fill(bf, bf + nwords * omega, 0u);
+    std::fill(lane_cnt.begin(), lane_cnt.end(), 0);
+    const int64_t e0 = t * T, e1 = e0 + T;
+    auto mark = [&](int64_t local) {
+      const int64_t l = local / sigma, s = local % sigma;
+      uint32_t& w = bf[(s >> 5) * omega + l];
+      const uint32_t bit = 1u << (s & 31);
+      if (!(w & bit)) {
+        w |= bit;
+        ++lane_cnt[static_cast<size_t>(l)];
+      }
+    };
+    mark(0);  // forced tile-leading bit (format_cuda.h:171-175)
+    while (r < m && row_ptr[r] < e1) {
+      // skip empty rows (they start no element)
+      if (row_ptr[r + 1] > row_ptr[r] && row_ptr[r] >= e0) mark(row_ptr[r] - e0);
+      if (row_ptr[r + 1] > e1) break;  // row continues into next tile
+      ++r;
+    }
+    int32_t* yo = y_offset + t * omega;
+    int64_t acc = 0;
+    for (int64_t l = 0; l < omega; ++l) {
+      yo[l] = static_cast<int32_t>(acc);
+      acc += lane_cnt[static_cast<size_t>(l)];
+    }
+    nseg[t] = acc;
+    int32_t* so = seg_offset + t * omega;
+    int32_t next = static_cast<int32_t>(omega);  // no flagged lane right
+    for (int64_t l = omega - 1; l >= 0; --l) {
+      int32_t d = next - static_cast<int32_t>(l) - 1;
+      so[l] = d < 0 ? 0 : (d > omega ? static_cast<int32_t>(omega) : d);
+      if (lane_cnt[static_cast<size_t>(l)] > 0) next = static_cast<int32_t>(l);
+    }
+  }
+  (void)nnz_pad;
+}
+
+// Empty-row indirection table (format_cuda.h:362-523 parity): for the
+// k-th segment head of each dirty tile, the row offset from tile_ptr[t].
+// eo_ptr must hold the exclusive prefix of (dirty ? nseg : 0).
+void csr5_empty_offsets(int64_t m, int64_t p, int64_t tile_nnz,
+                        const int64_t* row_ptr, const int32_t* tile_ptr,
+                        const uint8_t* dirty, const int64_t* eo_ptr,
+                        int32_t* eo) {
+  int64_t r = 0;
+  for (int64_t t = 0; t < p; ++t) {
+    const int64_t e0 = t * tile_nnz, e1 = e0 + tile_nnz;
+    // advance the row cursor to the row owning element e0
+    while (r + 1 < m && row_ptr[r + 1] <= e0) ++r;
+    if (!dirty[t]) continue;
+    int32_t* out = eo + eo_ptr[t];
+    int64_t k = 0;
+    // forced head at e0 belongs to the row owning e0
+    out[k++] = static_cast<int32_t>(r - tile_ptr[t]);
+    int64_t rr = r;
+    while (rr < m && row_ptr[rr] < e1) {
+      if (row_ptr[rr + 1] > row_ptr[rr] && row_ptr[rr] > e0)
+        out[k++] = static_cast<int32_t>(rr - tile_ptr[t]);
+      if (row_ptr[rr + 1] > e1) break;
+      ++rr;
+    }
+  }
+}
+
 }  // extern "C"
 
 // AoS->SoA tile transpose (format_cuda.h:525-744 parity), host-side:

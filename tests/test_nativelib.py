@@ -118,3 +118,55 @@ def test_native_pack_col16_matches_numpy():
         .swapaxes(1, 2)
     )
     np.testing.assert_array_equal(out, ref)
+
+
+def test_native_descriptor_matches_host():
+    import scipy.sparse as sp
+
+    from benchmark_spmv_using_csr5_tpu.ops import convert as C
+
+    for name, a, sigma in [
+        ("banded", synth.banded(900, 9), 24),
+        ("powerlaw_empty", synth.power_law(700, 600, 8.0, seed=11), 16),
+        ("long_row", sp.csr_matrix(
+            (np.ones(20000, np.float32),
+             (np.zeros(20000, np.int64), np.arange(20000))),
+            shape=(50, 20000)), 16),
+        ("two_words", synth.power_law(500, 400, 6.0, seed=7), 36),
+    ]:
+        a = sp.csr_matrix(a).astype(np.float32)
+        m = a.shape[0]
+        row_ptr = np.asarray(a.indptr, np.int64)
+        omega, tpb = 128, 8
+        T = sigma * omega
+        p_pad = -(-max(1, -(-a.nnz // T)) // tpb) * tpb
+        heads = np.zeros(p_pad * T, dtype=bool)
+        heads[row_ptr[:-1][np.diff(row_ptr) > 0]] = True
+        heads[np.arange(p_pad) * T] = True
+        bf_h, yo_h, so_h, ns_h = C._descriptor(heads, p_pad, sigma, omega)
+        nd = nativelib.descriptor(row_ptr, p_pad, sigma, omega)
+        assert nd is not None
+        for got, want, fname in zip(
+            nd, (bf_h, yo_h, so_h, ns_h),
+            ("bit_flag", "y_offset", "seg_offset", "nseg"),
+        ):
+            np.testing.assert_array_equal(got, want, err_msg=f"{name}:{fname}")
+
+        bounds = np.arange(p_pad + 1, dtype=np.int64) * T
+        tile_ptr = np.clip(
+            np.searchsorted(row_ptr, bounds, side="right") - 1, 0, m
+        )
+        empty = (np.diff(row_ptr) == 0).astype(np.int64)
+        e_prefix = np.zeros(m + 1, np.int64)
+        np.cumsum(empty, out=e_prefix[1:])
+        start = tile_ptr[:-1]
+        stop = np.minimum(tile_ptr[1:], m - 1)
+        dirty = (e_prefix[stop + 1] - e_prefix[np.minimum(start + 1, m)]) > 0
+        eop_h, eo_h = C._empty_offsets(
+            row_ptr, heads, dirty, tile_ptr[:-1], ns_h, p_pad, T
+        )
+        eop, eo = nativelib.empty_offsets(
+            row_ptr, tile_ptr[:-1], dirty, nd[3], p_pad, T
+        )
+        np.testing.assert_array_equal(eop, eop_h, err_msg=name)
+        np.testing.assert_array_equal(eo, eo_h, err_msg=name)
