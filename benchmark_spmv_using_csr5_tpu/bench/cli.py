@@ -161,7 +161,13 @@ def _run_dia(args, name, rp, ci, v, shape):
     import jax.numpy as jnp
     import scipy.sparse as sp
 
-    from ..ops.dia import build_dia, dia_spmm, dia_spmv, dia_supported
+    from ..ops.dia import (
+        build_dia,
+        dia_spmm,
+        dia_spmm_supported,
+        dia_spmv,
+        dia_supported,
+    )
     from ..utils import perf
     from .harness import time_spmv_device_loop
 
@@ -170,10 +176,16 @@ def _run_dia(args, name, rp, ci, v, shape):
         raise SystemExit(
             "matrix is not diagonal-structured; use --format csr5"
         )
-    if not dia_supported(d):
+    ok = (
+        dia_spmm_supported(d, args.spmm)
+        if args.spmm > 1
+        else dia_supported(d)
+    )
+    if not ok:
         raise SystemExit(
             "matrix exceeds the DIA kernel's limits (f32/bf16 values and "
-            "x resident in VMEM); use --format csr5 or --dtype float32"
+            "x resident in VMEM, R-scaled for --spmm); use --format csr5 "
+            "or --dtype float32"
         )
     m, n = shape
     rng = np.random.default_rng(0)

@@ -156,6 +156,7 @@ def run_benchmark(
     # pass host arrays directly: device readback over the tunnel is ~6 MB/s
     cfg = CSR5Config(sigma=compute_sigma(m, nnz, sigma))
     df64 = None
+    prebuilt_a5 = None  # reuse a rejected df64's hi-plane conversion
     if (
         dtype == np.float64
         and num_rhs == 1
@@ -165,11 +166,20 @@ def run_benchmark(
         # f64 on a TPU without native f64: the double-single kernel
         # (ops/csr5_df64.py). The XLA fallback would silently downcast
         # (x64 off on the real chip), so this is the only honest path.
-        from ..ops.csr5_df64 import build_df64, df64_supported
+        from ..ops.csr5_df64 import (
+            build_df64,
+            df64_residency_ok,
+            df64_supported,
+        )
 
-        dd = build_df64((row_ptr, col_idx, values, shape), cfg)
-        if df64_supported(dd):
-            df64 = dd
+        if df64_residency_ok(m, n):  # skip the build when x/y can't fit
+            dd = build_df64((row_ptr, col_idx, values, shape), cfg)
+            if df64_supported(dd):
+                df64 = dd
+            else:
+                # the hi plane IS the f32 cast of the matrix: reuse it
+                # for the fallback path instead of converting again
+                prebuilt_a5 = dd.a5
     sliced = None
     if (
         df64 is None
@@ -190,6 +200,8 @@ def run_benchmark(
         a5 = df64
     elif sliced is not None:
         a5 = sliced
+    elif prebuilt_a5 is not None:
+        a5 = prebuilt_a5
     elif autotune and sigma == AUTO_TUNED_SIGMA:
         # an explicitly requested sigma always wins over the re-tune
         from ..ops.convert import build_csr5_autotuned

@@ -53,6 +53,12 @@ class SpMVHandle:
         return self
 
     def input_csr(self, nnz: int, row_ptr, col_idx, values) -> "SpMVHandle":
+        # a re-input replaces ALL matrix state (a stale host copy from an
+        # earlier input would otherwise win over device-array input in
+        # as_csr5 and silently convert the wrong matrix)
+        self._host_csr = None
+        self._csr5 = None
+        self._csr5_sliced = None
         if not isinstance(values, jax.Array):
             # keep a host copy: conversion is host-side, and device->host
             # readback over the tunnel is ~6 MB/s (NOTES.md) — big
@@ -165,8 +171,21 @@ class SpMVHandle:
         if self._csr5 is None:
             # VMEM-oversized matrix held in row-sliced form: the sliced
             # SpMM path windows X per slice (ops/bigslice.sliced_spmm).
-            from ..ops.bigslice import sliced_spmm
+            # Slices from as_csr5 were sized for one rhs; re-slice for R
+            # so each slice's R-fold x/y residency keeps the Pallas path
+            # (cached until R changes).
+            from ..ops.bigslice import build_csr5_sliced, sliced_spmm
 
+            R = int(x_mat.shape[1])
+            if getattr(self, "_csr5_sliced_rhs", 1) != R:
+                src = (
+                    self._host_csr if self._host_csr is not None else self._csr
+                )
+                cfg = CSR5Config(sigma=self.compute_sigma())
+                sl_r = build_csr5_sliced(src, cfg, num_rhs=R)
+                if sl_r is not None:
+                    self._csr5_sliced = sl_r
+                    self._csr5_sliced_rhs = R
             return sliced_spmm(self._csr5_sliced, x_mat, alpha)
         return csr5_spmm(self._csr5, x_mat, alpha, backend=self._backend)
 

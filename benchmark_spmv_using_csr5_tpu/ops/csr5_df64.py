@@ -59,6 +59,7 @@ from .csr5_kernel import (
     MAX_FORI_PAGES,
     MAX_UNROLL_PAGES,
     META_HDR,
+    _SMEM_META_BUDGET,
     _VMEM_BUDGET,
     _effective_block,
     _lane_iota,
@@ -113,38 +114,60 @@ def build_df64(
 ) -> DF64CSR5:
     """CSR (f64 values) -> double-single CSR5.
 
-    Both value planes go through the same conversion; the tile layout is
-    a pure function of (row_ptr, col_idx), so the lo plane lands in
-    exactly the hi plane's slots.
+    One conversion (on the hi plane) carries all structure; the tile
+    layout is a pure function of (row_ptr, col_idx), so the lo plane is
+    just the matching tile transpose of the lo values — no second
+    conversion pass.
     """
     row_ptr, col_idx, values, shape = _as_host_csr(csr)
     hi, lo = split_f64(values)
     if config is None:
         config = CSR5Config(sigma=compute_sigma(shape[0], len(hi), sigma))
     a5 = build_csr5((row_ptr, col_idx, hi, shape), config)
-    a5_lo = build_csr5((row_ptr, col_idx, lo, shape), config)
-    return DF64CSR5(a5=a5, val_lo_tiles=a5_lo.val_tiles)
+
+    from ..utils import nativelib
+
+    p, sig, omega = a5.num_tiles, a5.sigma, a5.omega
+    lo_flat = np.zeros(p * sig * omega, np.float32)
+    lo_flat[: len(lo)] = lo
+    tr = nativelib.tile_transpose(lo_flat, p, sig, omega)
+    if tr is not None:
+        lo_tiles = jnp.asarray(tr)
+    else:
+        lo_tiles = jnp.swapaxes(
+            jnp.asarray(lo_flat).reshape(p, omega, sig), 1, 2
+        )
+    return DF64CSR5(a5=a5, val_lo_tiles=lo_tiles)
 
 
-def df64_supported(d: DF64CSR5) -> bool:
-    """Pallas gate: the f32 kernel's limits with doubled x/y residency."""
-    a5, cfg = d.a5, d.a5.config
+def df64_residency_ok(m: int, n: int) -> bool:
+    """Cheap pre-conversion gate: can the doubled x/y planes possibly fit
+    VMEM? Callers use this to skip building a df64 plan that
+    :func:`df64_supported` would certainly reject (the full gate still
+    applies post-build for pmax/meta limits)."""
+    n_pad = -(-max(n, 1) // LANES) * LANES
+    m_pad = -(-(m + 256) // 1024) * 1024
+    return 2 * (n_pad + LANES + m_pad) * 4 <= _VMEM_BUDGET
+
+
+def df64_supported(d) -> bool:
+    """Pallas gate: the f32 kernel's limits with doubled x/y residency.
+    Accepts a DF64CSR5 or the bare structure-carrying CSR5Matrix."""
+    a5 = d.a5 if isinstance(d, DF64CSR5) else d
+    cfg = a5.config
     if a5.val_tiles.dtype != jnp.float32:
         return False
     if cfg.sigma % 8 != 0 or cfg.omega != LANES:
         return False
     if a5.pmax > MAX_FORI_PAGES:
         return False
-    if _meta_width(a5.pmax) * 4 > _SMEM_META_BUDGET_DF64:
+    if _meta_width(a5.pmax) * 4 > _SMEM_META_BUDGET:
         return False
     B = _effective_block(cfg.tiles_per_block, a5.pmax, a5.num_tiles)
     blk = 2 * (2 * B * cfg.tile_nnz * 8 + B * a5.capw * 4)
     scr = 2 * cfg.sigma * B * LANES * 4 + 2 * B * LANES * 4
     vmem = 2 * (a5.n_pad + LANES + a5.m_pad) * 4 + blk + scr
     return vmem <= _VMEM_BUDGET
-
-
-_SMEM_META_BUDGET_DF64 = 160 * 1024
 
 
 # ---------------------------------------------------------------------------

@@ -145,7 +145,9 @@ def pallas_supported(a5: CSR5Matrix) -> bool:
         return False
     B = _effective_block(cfg.tiles_per_block, a5.pmax, a5.num_tiles)
     blk = 2 * (B * cfg.tile_nnz * _stream_bytes(a5) + B * a5.capw * 4)  # x2 buf
-    vmem = (a5.n_pad + LANES + a5.m_pad) * 4 + blk
+    # scratches: products + masked window columns (xG) + lane totals
+    scr = cfg.sigma * B * (LANES + a5.capw) * 4 + B * LANES * 4
+    vmem = (a5.n_pad + LANES + a5.m_pad) * 4 + blk + scr
     return vmem <= _VMEM_BUDGET
 
 
@@ -198,9 +200,9 @@ def _spmv_kernel(
     x_ref,  # (R*(n_pad/128 + 1), 128) f32 VMEM whole (zero sentinel rows)
     out_ref,  # (R*m_pad/128, 128) f32 HBM (ANY) output, written once at end
     y_ref,  # (R*m_pad/128, 128) f32 VMEM scratch accumulator
-    prod_ref,  # (sigma, B*128) f32 scratch: per-block products
-    pv_ref,  # (sigma, B*128) f32 scratch: batched within-lane prefixes
-    lt_ref,  # (B, 128) f32 scratch: per-tile lane totals
+    prod_ref,  # (sigma, R*B*128) f32 scratch: per-block products
+    pv_ref,  # (sigma, R*B*G*128) f32 scratch: masked window columns
+    lt_ref,  # (R*B, 128) f32 scratch: per-(tile, rhs) lane totals
     out_sem,  # DMA semaphore for the final copy-out
     *,
     B: int,
@@ -226,11 +228,7 @@ def _spmv_kernel(
     nx_rows = x_ref.shape[0] // R
     my_rows = y_ref.shape[0] // R
 
-    # prefix-scan operators (MXU): LT_s[s,s']=s'<=s ; LTX[c,l]=c<l (strict)
-    lt_s = (
-        jax.lax.broadcasted_iota(jnp.int32, (sigma, sigma), 1)
-        <= jax.lax.broadcasted_iota(jnp.int32, (sigma, sigma), 0)
-    ).astype(jnp.float32)
+    # cross-lane scan operator (MXU): LTX[c,l]=c<l (strict)
     ltx = (
         jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
         < jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
@@ -360,40 +358,64 @@ def _spmv_kernel(
                 xg = parts[0] if ngr == 1 else jnp.concatenate(parts, axis=0)
                 prod_ref[:, _sl(b, r)] = val * xg
 
-    # ---- batched MXU prefix scans over the whole block -------------------
-    # one (sigma,sigma)@(sigma,R*B*128) matmul replaces R*B tiny per-tile
-    # matmuls (which cost ~0.45 ms/4576 tiles in MXU fixed overhead);
-    # HIGHEST keeps f32 accuracy (plain bf16 loses ~4e-3 relative)
-    pv_ref[:] = jax.lax.dot_general(
-        lt_s, prod_ref[:], (((1,), (0,)), ((), ())),
+    # ---- window end-values via batched MXU masked sums -------------------
+    # W_end[d] = pv[ws[d], wl[d]] where pv is the within-lane inclusive
+    # prefix of products. Instead of materializing pv (one
+    # (sigma,sigma)@(sigma,R*B*128) matmul) and then gathering its
+    # sublanes per tile (the chunked dom-8 select chain _taa_sub8), each
+    # tile's window columns are gathered DIRECTLY from the products and
+    # masked to s <= ws[d]; one (1,sigma)@(sigma,R*B*G*128) ones-matmul
+    # then yields every W_end at once. The masked sum equals the prefix
+    # read exactly (HIGHEST = sequential f32 accumulation, as before).
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (sigma, LANES), 0)
+    wms_all = []
+    for b in range(B):
+        wms = []
+        for g in range(G):
+            wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
+            wms.append((wm & 0xFFFF, wm >> 16))
+        wms_all.append(wms)
+        for r in range(R):
+            prod_b = prod_ref[:, _sl(b, r)]
+            for g in range(G):
+                ws, wl = wms[g]
+                q = jnp.take_along_axis(
+                    prod_b, jnp.broadcast_to(wl, (sigma, LANES)), axis=1
+                )
+                pv_ref[:, pl.ds(((b * R + r) * G + g) * LANES, LANES)] = (
+                    jnp.where(iota_s <= ws, q, 0.0)
+                )
+    ones_s = jnp.ones((1, sigma), jnp.float32)
+    lane_tot_all = jax.lax.dot_general(  # (1, R*B*128) per-lane totals
+        ones_s, prod_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_SCAN_PRECISION,
     )
     for b in range(B):
         for r in range(R):
-            lt_ref[b * R + r : b * R + r + 1, :] = pv_ref[
-                sigma - 1 : sigma, _sl(b, r)
+            c0 = (b * R + r) * LANES
+            lt_ref[b * R + r : b * R + r + 1, :] = lane_tot_all[
+                :, c0 : c0 + LANES
             ]
     le_all = jax.lax.dot_general(  # (R*B,128) exclusive cross-lane carries
         lt_ref[:], ltx, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_SCAN_PRECISION,
     )
+    w_all = jax.lax.dot_general(  # (1, R*B*G*128) window end-values
+        ones_s, pv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_SCAN_PRECISION,
+    )
 
-    # ---- pass 2: routed window extraction + sequential accumulation ------
+    # ---- pass 2: window diff + sequential accumulation -------------------
     for b in range(B):
         rs = meta_ref[b, 0]
         a_off = rs & (LANES - 1)  # first valid slot / rotation amount
         by = rs >> 7  # 128-row-aligned y block of the tile's first row
-
-        # decode window maps once per tile; reuse across rhs
-        wms = []
-        for g in range(G):
-            wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
-            wms.append((wm & 0xFFFF, wm >> 16))
+        wms = wms_all[b]
 
         for r in range(R):
-            pv = pv_ref[:, _sl(b, r)]
             lane_excl_b = jnp.broadcast_to(
                 le_all[b * R + r : b * R + r + 1, :], (8, LANES)
             )
@@ -401,11 +423,8 @@ def _spmv_kernel(
             w_groups = []
             for g in range(G):
                 ws, wl = wms[g]
-                # R1[s, j] = pv[s, wl[j]]
-                R1 = jnp.take_along_axis(
-                    pv, jnp.broadcast_to(wl, (sigma, LANES)), axis=1
-                )
-                wv = _taa_sub8(R1, ws, sigma)  # (1,128) within-lane prefix
+                off = ((b * R + r) * G + g) * LANES
+                wv = w_all[:, off : off + LANES]
                 cl = jnp.take_along_axis(
                     lane_excl_b, jnp.broadcast_to(wl, (8, LANES)), axis=1
                 )[0:1]
@@ -495,7 +514,8 @@ def _make_pallas_call(
         scratch_shapes=[
             pltpu.VMEM((R * m_pad // LANES, LANES), jnp.float32),  # y acc
             pltpu.VMEM((sigma, R * B * LANES), jnp.float32),  # block products
-            pltpu.VMEM((sigma, R * B * LANES), jnp.float32),  # block prefixes
+            # masked window columns, one slot per (tile, rhs, group)
+            pltpu.VMEM((sigma, R * B * (capw // LANES) * LANES), jnp.float32),
             pltpu.VMEM((R * B, LANES), jnp.float32),  # lane totals
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -558,7 +578,11 @@ def pallas_spmm_supported(a5: CSR5Matrix, num_rhs: int) -> bool:
         return False
     B = _effective_block(a5.config.tiles_per_block, a5.pmax, a5.num_tiles)
     blk = 2 * (B * a5.config.tile_nnz * _stream_bytes(a5) + B * a5.capw * 4)
-    vmem = num_rhs * (a5.n_pad + LANES + a5.m_pad) * 4 + blk
+    scr = (
+        a5.config.sigma * num_rhs * B * (LANES + a5.capw) * 4
+        + num_rhs * B * LANES * 4
+    )
+    vmem = num_rhs * (a5.n_pad + LANES + a5.m_pad) * 4 + blk + scr
     return 1 <= num_rhs <= 16 and vmem <= _VMEM_BUDGET
 
 

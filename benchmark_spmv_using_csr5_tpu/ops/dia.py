@@ -139,6 +139,22 @@ def dia_supported(dia: Optional[DIAMatrix]) -> bool:
     return x_rows * LANES * 4 + blk + 2 * CHUNK_ROWS * 4 <= _VMEM_BUDGET
 
 
+def dia_spmm_supported(dia: Optional[DIAMatrix], num_rhs: int) -> bool:
+    """R-aware gate for :func:`dia_spmm`: the multi-rhs kernel keeps all
+    R stacked x planes whole in VMEM, so the budget scales with R."""
+    if not dia_supported(dia):
+        return False
+    pad_l = -(-max(0, -min(dia.offsets)) // LANES) * LANES
+    x_rows = (
+        pad_l // LANES
+        + -(-dia.n // LANES)
+        + -(-max(0, max(dia.offsets) + CHUNK_ROWS) // LANES)
+    )
+    blk = 2 * dia.ndiag * CHUNK_ROWS * dia.data.dtype.itemsize
+    out_blk = 2 * num_rhs * CHUNK_ROWS * 4
+    return num_rhs * x_rows * LANES * 4 + blk + out_blk <= _VMEM_BUDGET
+
+
 def _dia_kernel(val_ref, x_ref, o_ref, *, offsets, pad_l, C):
     """One grid step computes rows [i*C, (i+1)*C).
 

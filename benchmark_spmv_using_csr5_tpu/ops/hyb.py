@@ -183,11 +183,12 @@ def hyb_spmm(
     """
     from .csr5_kernel import csr5_spmm_pallas, pallas_spmm_supported
     from .csr5_spmv import csr5_spmm_xla
-    from .dia import dia_spmm, dia_spmm_xla
+    from .dia import dia_spmm, dia_spmm_supported, dia_spmm_xla
 
     parts = []
     if h.dia is not None:
-        if interpret or dia_supported(h.dia):
+        # R-aware gate: the SpMM kernel keeps R stacked x planes in VMEM
+        if interpret or dia_spmm_supported(h.dia, x.shape[1]):
             parts.append(dia_spmm(h.dia, x, alpha, interpret=interpret))
         else:
             parts.append(dia_spmm_xla(h.dia, x, alpha))

@@ -180,11 +180,15 @@ def _halo_widths(
         hl = max(hl, d * n_per - cmin)
         hr = max(hr, cmax + 1 - (d + 1) * n_per)
     hl, hr = max(hl, 0), max(hr, 0)
+    # round to the 128-lane grain so every shard's column window (and so
+    # its page structure) stays lane-aligned; check the neighbor-shard
+    # bound AFTER rounding (a rounded halo > n_per would slice negative
+    # lengths out of the neighbor's x shard in distributed_spmv)
+    hl = -(-hl // 128) * 128
+    hr = -(-hr // 128) * 128
     if hl > n_per or hr > n_per:
         return None  # needs columns beyond the nearest neighbor's shard
-    # round to the 128-lane grain so every shard's column window (and so
-    # its page structure) stays lane-aligned
-    return (-(-hl // 128) * 128, -(-hr // 128) * 128)
+    return (hl, hr)
 
 
 def distribute_csr(

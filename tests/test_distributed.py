@@ -178,3 +178,51 @@ def test_halo_rejected_for_scattered():
         a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh, halo="auto"
     )
     assert da.halo is None
+
+
+def test_halo_rounding_cannot_exceed_neighbor_shard():
+    """A needed halo of 905 columns (n_per=512 per device... ) — more
+    precisely: a halo that fits n_per BEFORE 128-rounding but exceeds it
+    after must be rejected, not produce negative neighbor slices."""
+    # n=1024 over 8 devices -> n_per=128. A row in device 1's block
+    # reading a column 100 left of its window needs hl=100 <= 128 (pre-
+    # round OK) but rounds to 128 (still OK); craft hl=130 -> rounds 256
+    # > 128 -> must fall back to all-gather.
+    m = n = 1024
+    diag = sp.eye(m, n, format="csr", dtype=np.float32)
+    extra = sp.csr_matrix(
+        (np.ones(1, np.float32), ([200], [200 - 130])), shape=(m, n)
+    )
+    a_sp = (diag + extra).tocsr()
+    mesh = make_mesh(8)
+    da = distribute_csr(
+        a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh, halo="auto"
+    )
+    assert da.halo is None or (da.halo[0] <= 128 and da.halo[1] <= 128)
+    x = np.random.default_rng(0).integers(1, 10, n).astype(np.float32)
+    y = np.asarray(
+        jax.jit(lambda xx: distributed_spmv(da, xx, mesh))(jnp.asarray(x))
+    )
+    np.testing.assert_allclose(y, a_sp @ x, rtol=1e-5)
+
+
+def test_handle_reinput_replaces_matrix():
+    """input_csr with device arrays after a numpy input must not convert
+    the stale host copy of the first matrix."""
+    from benchmark_spmv_using_csr5_tpu.models.handle import SpMVHandle
+
+    a1 = sp.csr_matrix(synth.banded(600, 5, dtype=np.float32))
+    a2 = sp.csr_matrix(synth.banded(600, 9, dtype=np.float32))
+    h = SpMVHandle(600, 600)
+    h.input_csr(a1.nnz, a1.indptr, a1.indices, a1.data).as_csr5()
+    h.as_csr()
+    h.input_csr(
+        a2.nnz,
+        jnp.asarray(a2.indptr, jnp.int32),
+        jnp.asarray(a2.indices, jnp.int32),
+        jnp.asarray(a2.data),
+    ).as_csr5()
+    x = np.random.default_rng(1).integers(1, 10, 600).astype(np.float32)
+    h.set_x(x)
+    y = np.asarray(h.spmv(1.0))
+    np.testing.assert_allclose(y, a2 @ x, rtol=1e-5)
