@@ -51,13 +51,23 @@ class DIAMatrix:
     ``offsets`` is a static (hashable) tuple so the Pallas kernel
     specializes its shift network per sparsity pattern — the TPU analogue
     of the reference's per-sigma kernel specialization.
+
+    Two storage layouts (``interleaved`` static flag):
+
+    - diag-major (default): ``data`` is (ndiag, m_pad) — each grid step
+      of the kernel DMAs ndiag separate 64 KB slices strided m_pad*4 B
+      apart.
+    - interleaved: ``data`` is (m_pad/128, ndiag, 128) — each grid step
+      fetches ONE contiguous block. Candidate fix for the large-m DMA
+      stride collapse (NOTES.md round-2 DIA experiment).
     """
 
     shape: Tuple[int, int] = struct.field(pytree_node=False)
     offsets: Tuple[int, ...] = struct.field(pytree_node=False)
     nnz_stored: int = struct.field(pytree_node=False)
-    data: jax.Array  # (ndiag, m_pad) float
+    data: jax.Array  # (ndiag, m_pad) float, or interleaved 3D
     m_pad: int = struct.field(pytree_node=False, default=0)
+    interleaved: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def m(self) -> int:
@@ -96,6 +106,7 @@ def build_dia(
     max_diags: int = MAX_DIAGS,
     min_fill: float = MIN_FILL,
     value_dtype=None,
+    layout: str = "diag",
 ) -> Optional[DIAMatrix]:
     """CSR -> DIA, or None when the matrix is not diagonal-structured.
 
@@ -116,6 +127,11 @@ def build_dia(
     data = np.zeros((len(uniq), m_pad), values.dtype)
     # np.add.at sums duplicates (scipy .dia_matrix parity)
     np.add.at(data, (inv, rows), values)
+    interleaved = layout == "interleaved"
+    if interleaved:
+        data = np.ascontiguousarray(
+            data.reshape(len(uniq), m_pad // LANES, LANES).transpose(1, 0, 2)
+        )
     d = jnp.asarray(data)
     if value_dtype is not None:
         d = d.astype(value_dtype)
@@ -125,6 +141,7 @@ def build_dia(
         nnz_stored=nnz,
         data=d,
         m_pad=m_pad,
+        interleaved=interleaved,
     )
 
 
@@ -155,10 +172,12 @@ def dia_spmm_supported(dia: Optional[DIAMatrix], num_rhs: int) -> bool:
     return num_rhs * x_rows * LANES * 4 + blk + out_blk <= _VMEM_BUDGET
 
 
-def _dia_kernel(val_ref, x_ref, o_ref, *, offsets, pad_l, C):
+def _dia_kernel(val_ref, x_ref, o_ref, *, offsets, pad_l, C, interleaved):
     """One grid step computes rows [i*C, (i+1)*C).
 
-    val_ref: (ndiag, C//LANES, LANES) value block of this chunk
+    val_ref: (ndiag, C//LANES, LANES) value block of this chunk, or
+             (C//LANES, ndiag, LANES) in the interleaved layout (one
+             contiguous DMA per step instead of ndiag strided slices)
     x_ref:   (x_rows, LANES) whole padded x in VMEM (leading pad_l zeros)
     o_ref:   (C//LANES, LANES) output block
     """
@@ -180,7 +199,8 @@ def _dia_kernel(val_ref, x_ref, o_ref, *, offsets, pad_l, C):
                 pltpu.roll(a, LANES - sh, axis=1),
                 pltpu.roll(b, LANES - sh, axis=1),
             )
-        acc = acc + val_ref[k].astype(jnp.float32) * xs
+        v = val_ref[:, k, :] if interleaved else val_ref[k]
+        acc = acc + v.astype(jnp.float32) * xs
     o_ref[:] = acc
 
 
@@ -201,20 +221,30 @@ def _dia_spmv_jit(dia: DIAMatrix, x, alpha, interpret: bool):
     xp = jax.lax.dynamic_update_slice(xp, xv, (pad_l,))
     x2d = xp.reshape(x_rows, LANES)
 
-    data3 = dia.data.reshape(nd, m_pad // LANES, LANES)
+    if dia.interleaved:
+        data3 = dia.data  # (m_pad/LANES, nd, LANES) already
+        val_spec = pl.BlockSpec(
+            (C // LANES, nd, LANES),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        data3 = dia.data.reshape(nd, m_pad // LANES, LANES)
+        val_spec = pl.BlockSpec(
+            (nd, C // LANES, LANES),
+            lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
     kernel = functools.partial(
-        _dia_kernel, offsets=dia.offsets, pad_l=pad_l, C=C
+        _dia_kernel, offsets=dia.offsets, pad_l=pad_l, C=C,
+        interleaved=dia.interleaved,
     )
     y2d = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad // LANES, LANES), jnp.float32),
         grid=(m_pad // C,),
         in_specs=[
-            pl.BlockSpec(
-                (nd, C // LANES, LANES),
-                lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            val_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole
         ],
         out_specs=pl.BlockSpec(
@@ -240,11 +270,19 @@ def dia_spmv(
     return _dia_spmv_jit(dia, x, alpha, interpret)
 
 
+def _data_diag(dia: DIAMatrix) -> jax.Array:
+    """(ndiag, m_pad) view of the value planes regardless of layout."""
+    if dia.interleaved:
+        return dia.data.transpose(1, 0, 2).reshape(dia.ndiag, dia.m_pad)
+    return dia.data
+
+
 @jax.jit
 def dia_spmm_xla(dia: DIAMatrix, xm: jax.Array, alpha=1.0) -> jax.Array:
     """Pure-XLA DIA SpMM fallback for X (n, R) (see :func:`dia_spmv_xla`)."""
     m, n = dia.shape
     offs = dia.offsets
+    dd = _data_diag(dia)
     pad_l = max(0, -min(offs))
     pad_r = max(0, dia.m_pad + max(offs) - n)
     xp = jnp.pad(xm * jnp.asarray(alpha, xm.dtype), ((pad_l, pad_r), (0, 0)))
@@ -253,7 +291,7 @@ def dia_spmm_xla(dia: DIAMatrix, xm: jax.Array, alpha=1.0) -> jax.Array:
         xs = jax.lax.dynamic_slice(
             xp, (pad_l + off, 0), (dia.m_pad, xm.shape[1])
         ).astype(dia.data.dtype)
-        acc = acc + dia.data[k][:, None] * xs
+        acc = acc + dd[k][:, None] * xs
     return acc[:m].astype(xm.dtype)
 
 
@@ -267,17 +305,18 @@ def dia_spmv_xla(dia: DIAMatrix, x: jax.Array, alpha=1.0) -> jax.Array:
     offs = dia.offsets
     pad_l = max(0, -min(offs))
     pad_r = max(0, dia.m_pad + max(offs) - n)
+    dd = _data_diag(dia)
     xp = jnp.pad(x * jnp.asarray(alpha, x.dtype), (pad_l, pad_r))
     acc = jnp.zeros(dia.m_pad, dia.data.dtype)
     for k, off in enumerate(offs):
-        acc = acc + dia.data[k] * jax.lax.dynamic_slice(
+        acc = acc + dd[k] * jax.lax.dynamic_slice(
             xp, (pad_l + off,), (dia.m_pad,)
         ).astype(dia.data.dtype)
     return acc[:m].astype(x.dtype)
 
 
 def _dia_spmm_kernel(
-    val_ref, x_ref, o_ref, *, offsets, pad_l, C, R, x_rows
+    val_ref, x_ref, o_ref, *, offsets, pad_l, C, R, x_rows, interleaved
 ):
     """Multi-rhs variant: the value block is streamed once and re-used
     across all R right-hand sides (same economics as csr5_spmm)."""
@@ -288,7 +327,9 @@ def _dia_spmm_kernel(
     for k, off in enumerate(offsets):
         s = off + pad_l
         q, sh = divmod(s, LANES)
-        v = val_ref[k].astype(jnp.float32)
+        v = (val_ref[:, k, :] if interleaved else val_ref[k]).astype(
+            jnp.float32
+        )
         for r in range(R):
             base = r * x_rows + i * Rb + q
             if sh == 0:
@@ -321,10 +362,23 @@ def _dia_spmm_jit(dia: DIAMatrix, xm, alpha, interpret: bool):
     xp = jax.lax.dynamic_update_slice(xp, xt, (0, pad_l))
     x2d = xp.reshape(R * x_rows, LANES)
 
-    data3 = dia.data.reshape(nd, m_pad // LANES, LANES)
+    if dia.interleaved:
+        data3 = dia.data
+        val_spec = pl.BlockSpec(
+            (C // LANES, nd, LANES),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        data3 = dia.data.reshape(nd, m_pad // LANES, LANES)
+        val_spec = pl.BlockSpec(
+            (nd, C // LANES, LANES),
+            lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
     kernel = functools.partial(
         _dia_spmm_kernel, offsets=dia.offsets, pad_l=pad_l, C=C, R=R,
-        x_rows=x_rows,
+        x_rows=x_rows, interleaved=dia.interleaved,
     )
     y3d = pl.pallas_call(
         kernel,
@@ -333,11 +387,7 @@ def _dia_spmm_jit(dia: DIAMatrix, xm, alpha, interpret: bool):
         ),
         grid=(m_pad // C,),
         in_specs=[
-            pl.BlockSpec(
-                (nd, C // LANES, LANES),
-                lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            val_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole (R stacked)
         ],
         out_specs=pl.BlockSpec(

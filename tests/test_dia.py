@@ -5,6 +5,7 @@ The DIA path is the framework's structured-matrix format expansion
 ANONYMOUSLIB_FORMAT_HYB5, CSR5_cuda/detail/common.h:21).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -94,4 +95,40 @@ def test_dia_spmm_vs_scipy():
     y_ref = 0.5 * (a @ xm)
     np.testing.assert_allclose(
         ym, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max())
+    )
+
+
+@pytest.mark.parametrize("layout", ["diag", "interleaved"])
+def test_dia_layouts_match_oracle(layout):
+    from benchmark_spmv_using_csr5_tpu.ops.dia import (
+        build_dia,
+        dia_spmm,
+        dia_spmm_xla,
+        dia_spmv,
+        dia_spmv_xla,
+    )
+
+    a = sp.csr_matrix(synth.banded(3000, 7, dtype=np.float32))
+    d = build_dia((a.indptr, a.indices, a.data, a.shape), layout=layout)
+    assert d is not None and d.interleaved == (layout == "interleaved")
+    rng = np.random.default_rng(0)
+    x = rng.integers(1, 10, a.shape[1]).astype(np.float32)
+    xm = rng.integers(1, 10, (a.shape[1], 3)).astype(np.float32)
+    y_ref = a @ x
+    ym_ref = a @ xm
+    np.testing.assert_allclose(
+        np.asarray(dia_spmv(d, jnp.asarray(x), interpret=True)), y_ref,
+        atol=1e-4 * np.abs(y_ref).max(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(dia_spmv_xla(d, jnp.asarray(x))), y_ref,
+        atol=1e-4 * np.abs(y_ref).max(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(dia_spmm(d, jnp.asarray(xm), interpret=True)), ym_ref,
+        atol=1e-4 * np.abs(ym_ref).max(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(dia_spmm_xla(d, jnp.asarray(xm))), ym_ref,
+        atol=1e-4 * np.abs(ym_ref).max(),
     )
