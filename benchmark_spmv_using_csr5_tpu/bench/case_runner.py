@@ -168,6 +168,10 @@ def _run_csr5_case(name: str) -> dict:
         "backend": res.backend,
         "check_ok": bool(res.check_ok),
         "sigma": res.sigma,
+        "convert_ms": round(res.convert_ms, 1),
+        "convert_phases_ms": {
+            k: round(v, 1) for k, v in res.convert_phases.items()
+        },
     }
     out.update(extra)
     return out

@@ -1,15 +1,16 @@
-"""A/B: committed (git HEAD) kernel vs working-tree kernel, interleaved.
+"""A/B: committed (git rev) kernel vs working-tree kernel, interleaved.
 
-Runs on the real TPU. Snapshots the HEAD versions of ops/csr5_kernel.py
-AND its data-format producers (ops/convert.py, models/formats.py) into
-gitignored ``_*_baseline.py`` modules (imports rewritten to point at each
-other), so the old kernel runs against an old-converter CSR5Matrix even
-when the working tree changed the conversion format. Each side builds
-its own a5; both are timed back-to-back within one process so the
-session-level device-speed variance (NOTES.md, +-10%) cancels.
+Runs on the real TPU. Snapshots the baseline-rev versions of
+ops/csr5_kernel.py AND its data-format producers (ops/convert.py,
+models/formats.py) into gitignored ``_*_baseline.py`` modules (imports
+rewritten to point at each other), so the old kernel runs against an
+old-converter CSR5Matrix even when the working tree changed the
+conversion format. Each side builds its own a5; both are timed
+back-to-back within one process so the session-level device-speed
+variance (NOTES.md, +-10%) cancels.
 
 Usage: edit the ops (uncommitted), then
-  python scripts/ab_pipeline.py
+  python scripts/ab_pipeline.py [baseline-rev]   # default HEAD
 """
 
 import pathlib
@@ -25,9 +26,13 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 _PKG = _REPO / "benchmark_spmv_using_csr5_tpu"
 
 
+_BASE_REV = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
+
+
 def _snapshot(head_rel: str, base_name: str, rewrites) -> None:
     src = subprocess.check_output(
-        ["git", "-C", str(_REPO), "show", f"HEAD:benchmark_spmv_using_csr5_tpu/{head_rel}"]
+        ["git", "-C", str(_REPO), "show",
+         f"{_BASE_REV}:benchmark_spmv_using_csr5_tpu/{head_rel}"]
     ).decode()
     for old, new in rewrites:
         src = src.replace(old, new)
