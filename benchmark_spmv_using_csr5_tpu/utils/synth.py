@@ -15,6 +15,31 @@ import numpy as np
 import scipy.sparse as sp
 
 
+def prefaulted(shape, dtype) -> np.ndarray:
+    """Allocate + prefault a numpy buffer.
+
+    Measured platform fact (NOTES.md): on this host, the FIRST write of
+    a fresh large (>~30 MB) anonymous mapping runs at ~8 MB/s unless it
+    goes through memset — ``np.zeros`` + ``.fill(0)`` prefaults at GB/s,
+    after which in-place writes (``out=``, slice assignment) run at full
+    speed. Every >~30 MB host-side buffer should be allocated this way
+    and filled with ``out=`` ops.
+    """
+    a = np.zeros(shape, dtype=dtype)
+    a.fill(0)
+    return a
+
+
+def _chunked_random_integers(rng, lo, hi, out, chunk=1 << 21):
+    """rng.integers into a prefaulted buffer in cache-sized chunks (the
+    one-shot call allocates a fresh slow buffer; see ``prefaulted``)."""
+    n = out.shape[0]
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        out[s:e] = rng.integers(lo, hi, size=e - s)
+    return out
+
+
 def random_csr(
     m: int,
     n: int,
@@ -32,15 +57,66 @@ def random_csr(
 
 
 def banded(m: int, bandwidth: int = 27, dtype=np.float64, seed: int = 0) -> sp.csr_matrix:
-    """FEM-like banded matrix (structured SuiteSparse class)."""
+    """FEM-like banded matrix (structured SuiteSparse class).
+
+    Direct CSR assembly into prefaulted buffers: ``sp.diags`` + dia->csr
+    took >400 s at m=20M on this host (the first-touch write pathology,
+    see ``prefaulted``); this path builds the exact sparsity pattern of
+    the original ``sp.diags`` construction — diagonals
+    ``-bw//2 .. bw//2`` with Python floor division, i.e. offsets
+    -(h+1)..h for odd bw (bw+1 diagonals; hence banded500k(27) = 14.0M
+    nnz at 28/row interior) and -h..h for even bw, clipped at the
+    edges — in a few seconds at 100M nnz.
+    """
     rng = np.random.default_rng(seed)
-    diags = []
-    offsets = []
-    for k in range(-bandwidth // 2, bandwidth // 2 + 1):
-        offsets.append(k)
-        diags.append(rng.integers(1, 10, size=m).astype(np.float64))
-    a = sp.diags(diags, offsets, shape=(m, m), format="csr")
-    return a.astype(dtype)
+    lo, hi = -bandwidth // 2, bandwidth // 2  # offsets lo..hi inclusive
+    nd = hi - lo + 1
+    if m <= 4 * nd + 8:  # tiny: the generic path is instant
+        offsets = list(range(lo, hi + 1))
+        diags = [rng.integers(1, 10, size=m).astype(np.float64) for _ in offsets]
+        return sp.diags(diags, offsets, shape=(m, m), format="csr").astype(dtype)
+
+    # row lengths: min(m-1, i+hi) - max(0, i+lo) + 1; interior rows
+    # (-lo <= i < m-hi) carry all nd entries
+    # int32 row_ptr matches col_idx's index dtype: the csr_matrix
+    # constructor would otherwise upcast one of them into a fresh (slow,
+    # see ``prefaulted``) buffer
+    row_ptr = prefaulted(m + 1, np.int32)
+    view = row_ptr[1:]
+    view.fill(nd)
+    for i in range(-lo):  # left-clipped rows
+        view[i] = min(m - 1, i + hi) - 0 + 1
+    for i in range(max(m - hi, -lo), m):  # right-clipped rows
+        view[i] = (m - 1) - max(0, i + lo) + 1
+    np.cumsum(row_ptr[1:], out=row_ptr[1:])
+    nnz = int(row_ptr[-1])
+
+    col_idx = prefaulted(nnz, np.int32)
+    a0, b0 = -lo, m - hi  # interior row range
+    inner = col_idx[row_ptr[a0] : row_ptr[b0]].reshape(b0 - a0, nd)
+    # chunked iota+offset writes (each chunk's temps stay cache-sized)
+    CH = 1 << 18
+    offs_row = np.arange(lo, hi + 1, dtype=np.int32)[None, :]
+    for s in range(a0, b0, CH):
+        e = min(s + CH, b0)
+        np.add(
+            np.arange(s, e, dtype=np.int32)[:, None],
+            offs_row,
+            out=inner[s - a0 : e - a0],
+        )
+    for i in range(a0):  # left edge rows
+        c0, c1 = 0, min(m - 1, i + hi)
+        col_idx[row_ptr[i] : row_ptr[i + 1]] = np.arange(c0, c1 + 1, dtype=np.int32)
+    for i in range(b0, m):  # right edge rows
+        c0, c1 = max(0, i + lo), m - 1
+        col_idx[row_ptr[i] : row_ptr[i + 1]] = np.arange(c0, c1 + 1, dtype=np.int32)
+
+    values = prefaulted(nnz, np.dtype(dtype))
+    _chunked_random_integers(rng, 1, 10, values)
+    a = sp.csr_matrix((values, col_idx, row_ptr), shape=(m, m))
+    a.has_sorted_indices = True
+    a.has_canonical_format = True
+    return a
 
 
 def power_law(
