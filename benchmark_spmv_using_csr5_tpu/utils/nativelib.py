@@ -27,6 +27,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from .hostmem import prefaulted
+
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
@@ -148,9 +150,9 @@ def load_matrix_market(
         )
     try:
         m, n, nnz = lib.mm_rows(h), lib.mm_cols(h), lib.mm_nnz(h)
-        row_ptr = np.empty(m + 1, np.int64)
-        col_idx = np.empty(nnz, np.int32)
-        values = np.empty(nnz, np.float64)
+        row_ptr = prefaulted(m + 1, np.int64)
+        col_idx = prefaulted(nnz, np.int32)
+        values = prefaulted(nnz, np.float64)
         lib.mm_fill(
             h,
             row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -183,7 +185,7 @@ def csr_spmv_serial(
     if values.dtype == np.float32:
         values = np.ascontiguousarray(values, np.float32)
         x32 = np.ascontiguousarray(x, np.float32)
-        y = np.empty(m, np.float32)
+        y = prefaulted(m, np.float32)
         lib.csr_spmv_f32(
             ctypes.c_int64(m),
             row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -196,7 +198,7 @@ def csr_spmv_serial(
         return y
     values64 = np.ascontiguousarray(values, np.float64)
     x64 = np.ascontiguousarray(x, np.float64)
-    y = np.empty(m, np.float64)
+    y = prefaulted(m, np.float64)
     lib.csr_spmv_f64(
         ctypes.c_int64(m),
         row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -220,8 +222,8 @@ def page_plan(col_flat: np.ndarray, p: int, tile_nnz: int, n_pages: int):
     if lib is None:
         return None
     col_flat = np.ascontiguousarray(col_flat, np.int32)
-    page_lo = np.empty(p, np.int32)
-    page_cnt = np.empty(p, np.int32)
+    page_lo = prefaulted(p, np.int32)
+    page_cnt = prefaulted(p, np.int32)
     span_max = ctypes.c_int32()
     cnt_max = ctypes.c_int32()
     lib.csr5_page_stats(
@@ -236,7 +238,7 @@ def page_plan(col_flat: np.ndarray, p: int, tile_nnz: int, n_pages: int):
     )
 
     def make_lists(pmax: int, sentinel: int) -> np.ndarray:
-        pages = np.empty((p, pmax), np.int32)
+        pages = prefaulted((p, pmax), np.int32)
         lib.csr5_page_lists(
             ctypes.c_int64(p),
             ctypes.c_int64(tile_nnz),
@@ -264,7 +266,7 @@ def col_local_packed(
     if lib is None:
         return None
     col_flat = np.ascontiguousarray(col_flat, np.int32)
-    out = np.empty(p * tile_nnz, np.uint16)
+    out = prefaulted(p * tile_nnz, np.uint16)
     lib.csr5_col_local(
         ctypes.c_int64(p),
         ctypes.c_int64(tile_nnz),
@@ -320,10 +322,10 @@ def descriptor(
     m = row_ptr.shape[0] - 1
     row_ptr = np.ascontiguousarray(row_ptr, np.int64)
     nwords = (sigma + 31) // 32
-    bit_flag = np.empty((p, nwords, omega), np.uint32)
-    y_offset = np.empty((p, omega), np.int32)
-    seg_offset = np.empty((p, omega), np.int32)
-    nseg = np.empty(p, np.int64)
+    bit_flag = prefaulted((p, nwords, omega), np.uint32)
+    y_offset = prefaulted((p, omega), np.int32)
+    seg_offset = prefaulted((p, omega), np.int32)
+    nseg = prefaulted(p, np.int64)
     lib.csr5_descriptor(
         ctypes.c_int64(m),
         ctypes.c_int64(p),
@@ -359,7 +361,7 @@ def empty_offsets(
     eo_ptr = np.zeros(p + 1, dtype=np.int64)
     np.cumsum(counts, out=eo_ptr[1:])
     total = int(eo_ptr[-1])
-    eo = np.empty(total, np.int32)
+    eo = prefaulted(total, np.int32)
     if total:
         lib.csr5_empty_offsets(
             ctypes.c_int64(m),
@@ -390,7 +392,7 @@ def tile_transpose(
     if esize not in (2, 4, 8):
         return None
     flat = np.ascontiguousarray(flat)
-    out = np.empty((p, sigma, omega), flat.dtype)
+    out = prefaulted((p, sigma, omega), flat.dtype)
     rc = lib.csr5_tile_transpose(
         ctypes.c_int64(p),
         ctypes.c_int64(omega),
@@ -415,7 +417,7 @@ def pack_col16(
     if lib is None:
         return None
     col16 = np.ascontiguousarray(col16, np.uint16)
-    out = np.empty((p, sigma // 2, omega), np.int32)
+    out = prefaulted((p, sigma // 2, omega), np.int32)
     lib.csr5_pack_col16(
         ctypes.c_int64(p),
         ctypes.c_int64(omega),
@@ -435,7 +437,7 @@ def tile_partition_pointer(
         return None
     m = row_ptr.shape[0] - 1
     row_ptr = np.ascontiguousarray(row_ptr, np.int64)
-    out = np.empty(num_tiles + 1, np.int32)
+    out = prefaulted(num_tiles + 1, np.int32)
     lib.csr5_tile_ptr(
         ctypes.c_int64(m),
         ctypes.c_int64(num_tiles),

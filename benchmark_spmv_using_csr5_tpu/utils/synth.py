@@ -15,29 +15,8 @@ import numpy as np
 import scipy.sparse as sp
 
 
-def prefaulted(shape, dtype) -> np.ndarray:
-    """Allocate + prefault a numpy buffer.
-
-    Measured platform fact (NOTES.md): on this host, the FIRST write of
-    a fresh large (>~30 MB) anonymous mapping runs at ~8 MB/s unless it
-    goes through memset — ``np.zeros`` + ``.fill(0)`` prefaults at GB/s,
-    after which in-place writes (``out=``, slice assignment) run at full
-    speed. Every >~30 MB host-side buffer should be allocated this way
-    and filled with ``out=`` ops.
-    """
-    a = np.zeros(shape, dtype=dtype)
-    a.fill(0)
-    return a
-
-
-def _chunked_random_integers(rng, lo, hi, out, chunk=1 << 21):
-    """rng.integers into a prefaulted buffer in cache-sized chunks (the
-    one-shot call allocates a fresh slow buffer; see ``prefaulted``)."""
-    n = out.shape[0]
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        out[s:e] = rng.integers(lo, hi, size=e - s)
-    return out
+from .hostmem import chunked_random_integers as _chunked_random_integers
+from .hostmem import prefaulted
 
 
 def random_csr(
