@@ -358,55 +358,91 @@ def _spmv_kernel(
                 xg = parts[0] if ngr == 1 else jnp.concatenate(parts, axis=0)
                 prod_ref[:, _sl(b, r)] = val * xg
 
-    # ---- window end-values via batched MXU masked sums -------------------
+    # ---- window end-values -----------------------------------------------
     # W_end[d] = pv[ws[d], wl[d]] where pv is the within-lane inclusive
-    # prefix of products. Instead of materializing pv (one
-    # (sigma,sigma)@(sigma,R*B*128) matmul) and then gathering its
-    # sublanes per tile (the chunked dom-8 select chain _taa_sub8), each
-    # tile's window columns are gathered DIRECTLY from the products and
-    # masked to s <= ws[d]; one (1,sigma)@(sigma,R*B*G*128) ones-matmul
-    # then yields every W_end at once. The masked sum equals the prefix
-    # read exactly (HIGHEST = sequential f32 accumulation, as before).
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (sigma, LANES), 0)
+    # prefix of products.
+    #
+    # R == 1 (SpMV): masked-sum route. Instead of materializing pv (one
+    # (sigma,sigma)@(sigma,B*128) matmul) and then gathering its sublanes
+    # per tile (the chunked dom-8 select chain _taa_sub8), each tile's
+    # window columns are gathered DIRECTLY from the products and masked to
+    # s <= ws[d]; one (1,sigma)@(sigma,B*G*128) ones-matmul then yields
+    # every W_end at once. The masked sum equals the prefix read exactly
+    # (HIGHEST = sequential f32 accumulation). Measured -4% banded /
+    # -8% scatband (A/B 2026-08-18).
+    #
+    # R > 1 (SpMM): the masked route repeats the sigma-row window gather
+    # per rhs and widens the ones-matmul by G, which measured +12% on
+    # spmm8 (same A/B) — keep the batched prefix matmul + _taa_sub8 route.
+    masked_win = R == 1
+    w_all = None
     wms_all = []
-    for b in range(B):
-        wms = []
-        for g in range(G):
-            wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
-            wms.append((wm & 0xFFFF, wm >> 16))
-        wms_all.append(wms)
-        for r in range(R):
-            prod_b = prod_ref[:, _sl(b, r)]
+    if masked_win:
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (sigma, LANES), 0)
+        for b in range(B):
+            wms = []
             for g in range(G):
-                ws, wl = wms[g]
-                q = jnp.take_along_axis(
-                    prod_b, jnp.broadcast_to(wl, (sigma, LANES)), axis=1
-                )
-                pv_ref[:, pl.ds(((b * R + r) * G + g) * LANES, LANES)] = (
-                    jnp.where(iota_s <= ws, q, 0.0)
-                )
-    ones_s = jnp.ones((1, sigma), jnp.float32)
-    lane_tot_all = jax.lax.dot_general(  # (1, R*B*128) per-lane totals
-        ones_s, prod_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_SCAN_PRECISION,
-    )
-    for b in range(B):
-        for r in range(R):
-            c0 = (b * R + r) * LANES
-            lt_ref[b * R + r : b * R + r + 1, :] = lane_tot_all[
-                :, c0 : c0 + LANES
-            ]
-    le_all = jax.lax.dot_general(  # (R*B,128) exclusive cross-lane carries
-        lt_ref[:], ltx, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_SCAN_PRECISION,
-    )
-    w_all = jax.lax.dot_general(  # (1, R*B*G*128) window end-values
-        ones_s, pv_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_SCAN_PRECISION,
-    )
+                wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
+                wms.append((wm & 0xFFFF, wm >> 16))
+            wms_all.append(wms)
+            for r in range(R):
+                prod_b = prod_ref[:, _sl(b, r)]
+                for g in range(G):
+                    ws, wl = wms[g]
+                    q = jnp.take_along_axis(
+                        prod_b, jnp.broadcast_to(wl, (sigma, LANES)), axis=1
+                    )
+                    pv_ref[:, pl.ds(((b * R + r) * G + g) * LANES, LANES)] = (
+                        jnp.where(iota_s <= ws, q, 0.0)
+                    )
+        ones_s = jnp.ones((1, sigma), jnp.float32)
+        lane_tot_all = jax.lax.dot_general(  # (1, R*B*128) per-lane totals
+            ones_s, prod_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_SCAN_PRECISION,
+        )
+        for b in range(B):
+            for r in range(R):
+                c0 = (b * R + r) * LANES
+                lt_ref[b * R + r : b * R + r + 1, :] = lane_tot_all[
+                    :, c0 : c0 + LANES
+                ]
+        le_all = jax.lax.dot_general(  # (R*B,128) excl. cross-lane carries
+            lt_ref[:], ltx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_SCAN_PRECISION,
+        )
+        w_all = jax.lax.dot_general(  # (1, R*B*G*128) window end-values
+            ones_s, pv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_SCAN_PRECISION,
+        )
+    else:
+        for b in range(B):
+            wms = []
+            for g in range(G):
+                wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
+                wms.append((wm & 0xFFFF, wm >> 16))
+            wms_all.append(wms)
+        lt_s = (  # LT_s[s,s'] = s' <= s (inclusive within-lane prefix)
+            jax.lax.broadcasted_iota(jnp.int32, (sigma, sigma), 1)
+            <= jax.lax.broadcasted_iota(jnp.int32, (sigma, sigma), 0)
+        ).astype(jnp.float32)
+        pv_ref[:] = jax.lax.dot_general(
+            lt_s, prod_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_SCAN_PRECISION,
+        )
+        for b in range(B):
+            for r in range(R):
+                lt_ref[b * R + r : b * R + r + 1, :] = pv_ref[
+                    sigma - 1 : sigma, _sl(b, r)
+                ]
+        le_all = jax.lax.dot_general(  # (R*B,128) excl. cross-lane carries
+            lt_ref[:], ltx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_SCAN_PRECISION,
+        )
 
     # ---- pass 2: window diff + sequential accumulation -------------------
     for b in range(B):
@@ -423,8 +459,15 @@ def _spmv_kernel(
             w_groups = []
             for g in range(G):
                 ws, wl = wms[g]
-                off = ((b * R + r) * G + g) * LANES
-                wv = w_all[:, off : off + LANES]
+                if masked_win:
+                    off = ((b * R + r) * G + g) * LANES
+                    wv = w_all[:, off : off + LANES]
+                else:
+                    pv = pv_ref[:, _sl(b, r)]
+                    R1 = jnp.take_along_axis(  # R1[s, j] = pv[s, wl[j]]
+                        pv, jnp.broadcast_to(wl, (sigma, LANES)), axis=1
+                    )
+                    wv = _taa_sub8(R1, ws, sigma)  # (1,128) prefix read
                 cl = jnp.take_along_axis(
                     lane_excl_b, jnp.broadcast_to(wl, (8, LANES)), axis=1
                 )[0:1]
@@ -514,8 +557,12 @@ def _make_pallas_call(
         scratch_shapes=[
             pltpu.VMEM((R * m_pad // LANES, LANES), jnp.float32),  # y acc
             pltpu.VMEM((sigma, R * B * LANES), jnp.float32),  # block products
-            # masked window columns, one slot per (tile, rhs, group)
-            pltpu.VMEM((sigma, R * B * (capw // LANES) * LANES), jnp.float32),
+            # R == 1: masked window columns, one slot per (tile, group);
+            # R > 1: the batched within-lane prefixes, one slot per (tile, rhs)
+            pltpu.VMEM(
+                (sigma, B * (capw // LANES) * LANES if R == 1 else R * B * LANES),
+                jnp.float32,
+            ),
             pltpu.VMEM((R * B, LANES), jnp.float32),  # lane totals
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -578,8 +625,9 @@ def pallas_spmm_supported(a5: CSR5Matrix, num_rhs: int) -> bool:
         return False
     B = _effective_block(a5.config.tiles_per_block, a5.pmax, a5.num_tiles)
     blk = 2 * (B * a5.config.tile_nnz * _stream_bytes(a5) + B * a5.capw * 4)
+    # scratches: products + prefixes (both (sigma, R*B*128)) + lane totals
     scr = (
-        a5.config.sigma * num_rhs * B * (LANES + a5.capw) * 4
+        a5.config.sigma * num_rhs * B * 2 * LANES * 4
         + num_rhs * B * LANES * 4
     )
     vmem = num_rhs * (a5.n_pad + LANES + a5.m_pad) * 4 + blk + scr
