@@ -92,8 +92,11 @@ MAX_UNROLL_PAGES = 64
 #: to the XLA executor
 MAX_FORI_PAGES = 4096
 #: tier-2 fori body processes this many pages per iteration (hides the
-#: scalar-load -> dynamic-slice latency chain that serializes a plain loop)
-FORI_PAGE_UNROLL = 4
+#: scalar-load -> dynamic-slice latency chain that serializes a plain
+#: loop). Must divide 8 (page lists are sentinel-padded to a multiple of
+#: 8). TPU sweep on powerlaw200k: U=1 7.04 ms / 2 5.71 / 4 4.48 /
+#: 8 4.25 / 16 4.37 — the latency chain saturates at 8.
+FORI_PAGE_UNROLL = 8
 
 #: precision of the batched MXU prefix scans. HIGHEST = 6-pass (exact
 #: f32); HIGH = 3-pass bf16x3 (~5e-7 relative, well inside the 1%% gate)
@@ -328,29 +331,39 @@ def _spmv_kernel(
             cnt_max = jnp.maximum(cnt_max, meta_ref[b, 1])
 
         ngr = 2 if packed else 1
+        # U pages per iteration: the column decode is shared across the U
+        # pages and their scalar-load -> dynamic-row-load chains overlap
+        # (a 1-page body serializes on that latency chain). Page lists are
+        # sentinel-padded to pmax (a multiple of 8), so reading up to
+        # ceil(cnt_max/U)*U - 1 < pmax is safe for U | 8.
+        U = FORI_PAGE_UNROLL
 
-        def body(k, xgs):
+        def body(j, xgs):
             out = list(xgs)
+            k0 = j * U
             for b in range(B):
                 groups = _decode(b)
-                pid = meta_ref[b, META_HDR + k]
-                mv = k if packed else pid
-                masks = [key == mv for _, key in groups]
-                for r in range(R):
-                    xrow = x_ref[pl.ds(r * nx_rows + pid, 1), :]
-                    for gi, ((lane, _), mask) in enumerate(zip(groups, masks)):
-                        g = jnp.take_along_axis(
-                            jnp.broadcast_to(xrow, lane.shape), lane, axis=1
-                        )
-                        idx = (b * R + r) * ngr + gi
-                        out[idx] = jnp.where(mask, g, out[idx])
+                for u in range(U):
+                    pid = meta_ref[b, META_HDR + k0 + u]
+                    mv = k0 + u if packed else pid
+                    masks = [key == mv for _, key in groups]
+                    for r in range(R):
+                        xrow = x_ref[pl.ds(r * nx_rows + pid, 1), :]
+                        for gi, ((lane, _), mask) in enumerate(
+                            zip(groups, masks)
+                        ):
+                            g = jnp.take_along_axis(
+                                jnp.broadcast_to(xrow, lane.shape), lane, axis=1
+                            )
+                            idx = (b * R + r) * ngr + gi
+                            out[idx] = jnp.where(mask, g, out[idx])
             return tuple(out)
 
         gshape = (s2, LANES) if packed else (sigma, LANES)
         init = tuple(
             jnp.zeros(gshape, jnp.float32) for _ in range(B * R * ngr)
         )
-        xgs = jax.lax.fori_loop(0, cnt_max, body, init)
+        xgs = jax.lax.fori_loop(0, (cnt_max + U - 1) // U, body, init)
         for b in range(B):
             val = val_ref[pl.ds(b * sigma, sigma), :].astype(jnp.float32)
             for r in range(R):

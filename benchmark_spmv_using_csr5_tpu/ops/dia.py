@@ -54,12 +54,13 @@ class DIAMatrix:
 
     Two storage layouts (``interleaved`` static flag):
 
-    - diag-major (default): ``data`` is (ndiag, m_pad) — each grid step
-      of the kernel DMAs ndiag separate 64 KB slices strided m_pad*4 B
-      apart.
-    - interleaved: ``data`` is (m_pad/128, ndiag, 128) — each grid step
-      fetches ONE contiguous block. Candidate fix for the large-m DMA
-      stride collapse (NOTES.md round-2 DIA experiment).
+    - interleaved (default): ``data`` is (m_pad/128, ndiag, 128) — each
+      grid step fetches ONE contiguous block. Measured 2.2-3.9x faster
+      than diag-major (488 GB/s val-stream at m=2M vs 125; the strided
+      per-diagonal DMAs collapse the stream, worse with m).
+    - diag-major: ``data`` is (ndiag, m_pad) — each grid step DMAs ndiag
+      separate 64 KB slices strided m_pad*4 B apart. Kept for layout A/B
+      and as the natural export view (:func:`_data_diag`).
     """
 
     shape: Tuple[int, int] = struct.field(pytree_node=False)
@@ -106,7 +107,7 @@ def build_dia(
     max_diags: int = MAX_DIAGS,
     min_fill: float = MIN_FILL,
     value_dtype=None,
-    layout: str = "diag",
+    layout: str = "interleaved",
 ) -> Optional[DIAMatrix]:
     """CSR -> DIA, or None when the matrix is not diagonal-structured.
 
@@ -124,14 +125,17 @@ def build_dia(
     if len(uniq) > max_diags or nnz < min_fill * len(uniq) * m:
         return None
     m_pad = -(-m // CHUNK_ROWS) * CHUNK_ROWS
-    data = np.zeros((len(uniq), m_pad), values.dtype)
-    # np.add.at sums duplicates (scipy .dia_matrix parity)
-    np.add.at(data, (inv, rows), values)
     interleaved = layout == "interleaved"
+    # np.add.at sums duplicates (scipy .dia_matrix parity); the
+    # interleaved layout is scattered into directly (a reshape+transpose
+    # afterwards would first-touch a second nnz-scale buffer, NOTES.md
+    # host-write pathology)
     if interleaved:
-        data = np.ascontiguousarray(
-            data.reshape(len(uniq), m_pad // LANES, LANES).transpose(1, 0, 2)
-        )
+        data = np.zeros((m_pad // LANES, len(uniq), LANES), values.dtype)
+        np.add.at(data, (rows >> 7, inv, rows & (LANES - 1)), values)
+    else:
+        data = np.zeros((len(uniq), m_pad), values.dtype)
+        np.add.at(data, (inv, rows), values)
     d = jnp.asarray(data)
     if value_dtype is not None:
         d = d.astype(value_dtype)

@@ -25,9 +25,12 @@ def test_dia_build_matches_scipy_dia():
     assert d is not None
     ad = a.todia()
     assert sorted(d.offsets) == sorted(int(o) for o in ad.offsets)
-    # data[k, i] = A[i, i+off] (scipy stores data[k, j] = A[j-off, j])
+    # data[k, i] = A[i, i+off] (scipy stores data[k, j] = A[j-off, j]);
+    # _data_diag gives the (ndiag, m_pad) view of either storage layout
+    from benchmark_spmv_using_csr5_tpu.ops.dia import _data_diag
+
     dense = a.toarray()
-    data = np.asarray(d.data)
+    data = np.asarray(_data_diag(d))
     for k, off in enumerate(d.offsets):
         for i in range(a.shape[0]):
             j = i + off
