@@ -19,6 +19,7 @@ from .ops.csr5_spmv import csr5_spmm, csr5_spmm_xla, csr5_spmv, csr5_spmv_xla
 from .ops.dia import DIAMatrix, build_dia, dia_spmm, dia_spmv, dia_supported
 from .ops.hyb import HYBMatrix, build_hyb, hyb_spmm, hyb_spmv
 from .ops.reference import coo_spmv, csr_spmm, csr_spmv
+from .ops.select import analyze_diagonals, select_format
 
 __version__ = "0.1.0"
 
@@ -53,4 +54,6 @@ __all__ = [
     "build_hyb",
     "hyb_spmm",
     "hyb_spmv",
+    "analyze_diagonals",
+    "select_format",
 ]

@@ -204,7 +204,7 @@ def _run_mtx_case(name: str) -> dict:
         num_run=num_run, num_rhs=rhs, autotune=True,
     )
     print(res.report(), file=sys.stderr)
-    return {
+    out = {
         "name": name,
         "file": fname,
         "mtx_bytes": os.path.getsize(path),
@@ -218,6 +218,66 @@ def _run_mtx_case(name: str) -> dict:
         "check_ok": bool(res.check_ok),
         "sigma": res.sigma,
     }
+    out.update(_auto_format_extra(name, rp, ci, v, shape, num_run, res))
+    return out
+
+
+def _auto_format_extra(name, rp, ci, v, shape, num_run, csr5_res) -> dict:
+    """When the structural selector picks a non-CSR5 format, time that
+    format too and report it side by side (the format-expansion story:
+    a framework user gets the selector's pick, ops/select.py)."""
+    import jax.numpy as jnp
+
+    from ..ops.select import select_format
+    from .harness import time_spmv_device_loop
+
+    fmt = select_format(rp, ci, shape)
+    if fmt == "csr5":
+        return {"auto_format": "csr5"}
+    extra = {"auto_format": fmt}
+    try:
+        rng = np.random.default_rng(0)
+        x = rng.integers(1, 10, shape[1]).astype(np.float32)
+        xd = jnp.asarray(x)
+        import scipy.sparse as sp
+
+        y_ref = sp.csr_matrix(
+            (v.astype(np.float32), ci, rp), shape=shape
+        ) @ x
+        if fmt == "dia":
+            from ..ops.dia import build_dia, dia_spmv, dia_supported
+
+            d = build_dia((rp, ci, v.astype(np.float32), shape))
+            if d is None or not dia_supported(d):
+                return extra
+            fn, mat = dia_spmv, d
+        else:
+            from ..ops.hyb import build_hyb, hyb_spmv
+
+            mat = build_hyb((rp, ci, v.astype(np.float32), shape))
+            fn = hyb_spmv
+        y = np.asarray(fn(mat, xd))
+        rel = float(
+            (np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-30)).max()
+        )
+        ms = time_spmv_device_loop(
+            lambda m_, x_: fn(m_, x_), xd, num_run, operands=mat
+        )
+        extra.update(
+            {
+                "auto_spmv_ms": round(ms, 4),
+                "auto_check_ok": rel <= 0.01,
+                "auto_speedup_vs_csr5": round(csr5_res.spmv_ms / ms, 2),
+            }
+        )
+        print(
+            f"[{name}] auto-format {fmt}: {ms:.4f} ms "
+            f"({csr5_res.spmv_ms / ms:.1f}x vs csr5) rel={rel:.1e}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 — auto extra must not sink the case
+        extra["auto_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    return extra
 
 
 def _run_dia_case() -> dict:

@@ -62,10 +62,11 @@ def main(argv=None):
     ap.add_argument(
         "--format",
         default="csr5",
-        choices=["csr5", "dia", "hyb"],
+        choices=["csr5", "dia", "hyb", "auto"],
         help="storage format: csr5 (general), dia (diagonal-structured; "
-        "streams no column indices), or hyb (dense diagonals via DIA + "
-        "remainder via CSR5)",
+        "streams no column indices), hyb (dense diagonals via DIA + "
+        "remainder via CSR5), or auto (one structural pass picks the "
+        "format by the measured TPU crossovers; ops/select.py)",
     )
     ap.add_argument(
         "--autotune",
@@ -97,9 +98,18 @@ def main(argv=None):
         )
         rp, ci, v = a_perm.indptr, a_perm.indices, a_perm.data
         name = f"{name}+{args.reorder}"
-    if args.format == "dia":
+    fmt = args.format
+    if fmt == "auto":
+        from ..ops.select import select_format
+
+        fmt = select_format(rp, ci, shape)
+        # DIA/HYB benchmark paths are SpMV-only; SpMM keeps CSR5
+        if args.spmm > 1 and fmt != "dia":
+            fmt = "csr5"
+        print(f"[{name}] auto-selected format: {fmt}")
+    if fmt == "dia":
         return _run_dia(args, name, rp, ci, v, shape)
-    if args.format == "hyb":
+    if fmt == "hyb":
         return _run_hyb(args, name, rp, ci, v, shape)
     res = run_benchmark(
         name,

@@ -103,18 +103,22 @@ def build_hyb(
         d_rows = rows[sel]
         d_off = off[sel]
         d_uniq = uniq[dense]
-        from .dia import CHUNK_ROWS
+        from .dia import CHUNK_ROWS, LANES
 
         m_pad = -(-m // CHUNK_ROWS) * CHUNK_ROWS
-        data = np.zeros((len(d_uniq), m_pad), values.dtype)
+        # interleaved (m_pad/128, ndiag, 128) layout, scattered into
+        # directly — one contiguous DMA per kernel grid step (2.2-3.9x
+        # over diag-major; see DIAMatrix / NOTES.md)
+        data = np.zeros((m_pad // LANES, len(d_uniq), LANES), values.dtype)
         k = np.searchsorted(d_uniq, d_off)
-        np.add.at(data, (k, d_rows), values[sel])
+        np.add.at(data, (d_rows >> 7, k, d_rows & (LANES - 1)), values[sel])
         dia = DIAMatrix(
             shape=(m, n),
             offsets=tuple(int(o) for o in d_uniq),
             nnz_stored=int(len(sel)),
             data=jnp.asarray(data),
             m_pad=m_pad,
+            interleaved=True,
         )
 
     csr5 = None
