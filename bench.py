@@ -46,6 +46,7 @@ CASES = [
     "mtx_powlaw300k",
     "scrambled300k",
     "scrambled300k_rcm",
+    "hybmix400k",  # HYB5 format slot: banded core + noise vs pure CSR5
 ]
 #: no JSON line for this long -> the tunnel is hung; kill + relaunch
 CASE_INACTIVITY_S = {"banded2M": 700, "banded20M": 700}

@@ -317,6 +317,81 @@ def _run_dia_case() -> dict:
     return out
 
 
+def _run_hyb_case() -> dict:
+    """Mixed-structure matrix (dense banded core + scattered noise):
+    the HYB5 format-expansion slot (the enum the reference declares but
+    never implements, detail/common.h:21) measured against pure CSR5."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from ..config import CSR5Config
+    from ..ops.convert import build_csr5
+    from ..ops.csr5_kernel import csr5_spmv_pallas, pallas_supported
+    from ..ops.hyb import build_hyb, hyb_spmv
+    from ..ops.select import select_format
+    from ..utils import synth
+    from .harness import time_spmv_device_loop
+
+    m = 400_000
+    band = sp.csr_matrix(synth.banded(m, 27, dtype=np.float32))
+    rng = np.random.default_rng(3)
+    nnz_noise = m * 4
+    noise = sp.csr_matrix(
+        (
+            np.ones(nnz_noise, np.float32),
+            (
+                rng.integers(0, m, nnz_noise),
+                rng.integers(0, m, nnz_noise),
+            ),
+        ),
+        shape=(m, m),
+    )
+    a = (band + noise).tocsr()
+    csr = (a.indptr, a.indices, a.data, a.shape)
+    fmt = select_format(a.indptr, a.indices, a.shape)
+    x = rng.integers(1, 10, m).astype(np.float32)
+    xd = jnp.asarray(x)
+    y_ref = a @ x
+
+    h = build_hyb(csr)
+    yh = np.asarray(hyb_spmv(h, xd))
+    rel = float(
+        (np.abs(yh - y_ref) / np.maximum(np.abs(y_ref), 1e-30)).max()
+    )
+    ms_hyb = time_spmv_device_loop(
+        lambda h_, x_: hyb_spmv(h_, x_), xd, 100, operands=h
+    )
+    # pure-CSR5 comparison point (sigma=8: the scattered-tier tune)
+    a5 = build_csr5(csr, CSR5Config(sigma=8))
+    ms_csr5 = float("nan")
+    if pallas_supported(a5):
+        ms_csr5 = time_spmv_device_loop(
+            lambda a_, x_: csr5_spmv_pallas(a_, x_), xd, 50, operands=a5
+        )
+    out = {
+        "name": "hybmix400k",
+        "spmv_ms": round(ms_hyb, 4),
+        "csr5_ms": round(ms_csr5, 4),
+        "speedup_vs_csr5": round(ms_csr5 / ms_hyb, 2),
+        "gflops": round(2 * a.nnz / (ms_hyb * 1e-3) / 1e9, 2),
+        "pct_roofline": round(
+            (a.shape[0] * 8 + a.nnz * 12) / 1e9 / (ms_hyb * 1e-3) / 8.19, 2
+        ),
+        "check_ok": rel <= 0.01,
+        "backend": "hyb5",
+        "selected_format": fmt,
+        "dia_diags": h.dia.ndiag if h.dia is not None else 0,
+        "csr5_part_nnz": h.csr5.nnz_stored if h.csr5 is not None else 0,
+    }
+    print(
+        f"[hybmix400k] hyb {ms_hyb:.4f} ms vs pure csr5 {ms_csr5:.4f} ms "
+        f"({out['speedup_vs_csr5']}x), split {out['dia_diags']} diags + "
+        f"{out['csr5_part_nnz']} nnz, rel={rel:.1e}",
+        file=sys.stderr,
+    )
+    return out
+
+
 def _parent_watchdog() -> None:
     """Exit if the parent bench.py dies (e.g. a driver timeout killed it):
     an orphaned case would otherwise keep holding the single-user TPU and
@@ -335,6 +410,8 @@ def _parent_watchdog() -> None:
 def run_one(name: str) -> dict:
     if name == "dia_tridiag500k":
         return _run_dia_case()
+    if name == "hybmix400k":
+        return _run_hyb_case()
     if name.startswith("mtx_"):
         return _run_mtx_case(name)
     return _run_csr5_case(name)

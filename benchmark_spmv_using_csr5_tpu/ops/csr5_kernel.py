@@ -66,8 +66,8 @@ Static limits of this kernel (checked by :func:`pallas_supported` /
 f32/bf16 values, sigma a multiple of 8, pmax <= MAX_FORI_PAGES, x and y
 (x R) resident in VMEM.
 
-Measured on one TPU v5e chip (f32): banded 500k x 14M nnz = 0.30 ms =
-~67% of the 819 GB/s HBM roofline, exact vs scipy; see NOTES.md for the
+Measured on one TPU v5e chip (f32): banded 500k x 14M nnz = 0.26 ms =
+80% of the 819 GB/s HBM roofline, exact vs scipy; see NOTES.md for the
 ablation history.
 """
 
