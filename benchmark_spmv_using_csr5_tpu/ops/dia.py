@@ -149,14 +149,26 @@ def build_dia(
     )
 
 
+def _stream_x_ok(dia: DIAMatrix) -> bool:
+    """True when the x window of every output chunk fits two consecutive
+    CHUNK_ROWS blocks: pad_l + max_off <= C - 128 (static per-diagonal
+    base rows; see :func:`_dia_kernel_streamx`)."""
+    pad_l = -(-max(0, -min(dia.offsets)) // LANES) * LANES
+    return pad_l + max(0, max(dia.offsets)) <= CHUNK_ROWS - LANES
+
+
 def dia_supported(dia: Optional[DIAMatrix]) -> bool:
     if dia is None:
         return False
     if dia.data.dtype not in (jnp.float32, jnp.bfloat16):
         return False
+    blk = 2 * dia.ndiag * CHUNK_ROWS * dia.data.dtype.itemsize
+    if _stream_x_ok(dia):
+        # streamed-x mode: x arrives as two pipelined CHUNK_ROWS blocks
+        # per grid step — no whole-x residency, no m/n cap
+        return blk + 6 * CHUNK_ROWS * 4 <= _VMEM_BUDGET
     pad_l = -(-max(0, -min(dia.offsets)) // LANES) * LANES
     x_rows = pad_l // LANES + -(-dia.n // LANES) + -(-max(0, max(dia.offsets) + CHUNK_ROWS) // LANES)
-    blk = 2 * dia.ndiag * CHUNK_ROWS * dia.data.dtype.itemsize
     return x_rows * LANES * 4 + blk + 2 * CHUNK_ROWS * 4 <= _VMEM_BUDGET
 
 
@@ -174,6 +186,56 @@ def dia_spmm_supported(dia: Optional[DIAMatrix], num_rhs: int) -> bool:
     blk = 2 * dia.ndiag * CHUNK_ROWS * dia.data.dtype.itemsize
     out_blk = 2 * num_rhs * CHUNK_ROWS * 4
     return num_rhs * x_rows * LANES * 4 + blk + out_blk <= _VMEM_BUDGET
+
+
+def _dia_kernel_streamx(
+    val_ref, xa_ref, xb_ref, o_ref, *, offsets, pad_l, C, interleaved
+):
+    """Streamed-x variant: instead of the whole x resident in VMEM (which
+    caps m + n at the VMEM budget), each grid step receives TWO
+    consecutive CHUNK_ROWS blocks of the padded x — the window
+    [i*C + s, i*C + s + C) for every static diagonal shift s lies inside
+    them whenever pad_l + max_off <= C - 128 (:func:`_stream_x_ok`).
+    Pallas double-buffers the two x streams like any other block input,
+    so DIA matrices of ANY m run with O(CHUNK_ROWS) VMEM.
+
+    xa_ref/xb_ref: (C//LANES, LANES) blocks i and i+1 of x2d.
+    """
+    R = C // LANES
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    acc = jnp.zeros((R, LANES), jnp.float32)
+    cache = {}
+
+    def rows(q):
+        # window rows [q, q+R) assembled from the two blocks; q is static
+        # per diagonal, so this is vreg re-indexing, not a data copy
+        if q not in cache:
+            if q == 0:
+                cache[q] = xa_ref[:, :]
+            elif q == R:
+                cache[q] = xb_ref[:, :]
+            else:
+                cache[q] = jnp.concatenate(
+                    [xa_ref[q:, :], xb_ref[:q, :]], axis=0
+                )
+        return cache[q]
+
+    for k, off in enumerate(offsets):
+        s = off + pad_l  # >= 0 by construction
+        q, sh = divmod(s, LANES)
+        if sh == 0:
+            xs = rows(q)
+        else:
+            a = rows(q)
+            b = rows(q + 1)
+            xs = jnp.where(
+                lanes < LANES - sh,
+                pltpu.roll(a, LANES - sh, axis=1),
+                pltpu.roll(b, LANES - sh, axis=1),
+            )
+        v = val_ref[:, k, :] if interleaved else val_ref[k]
+        acc = acc + v.astype(jnp.float32) * xs
+    o_ref[:] = acc
 
 
 def _dia_kernel(val_ref, x_ref, o_ref, *, offsets, pad_l, C, interleaved):
@@ -213,13 +275,22 @@ def _dia_spmv_jit(dia: DIAMatrix, x, alpha, interpret: bool):
     m, n = dia.shape
     m_pad = dia.m_pad
     C = CHUNK_ROWS
+    R = C // LANES
     nd = dia.ndiag
     pad_l = -(-max(0, -min(dia.offsets)) // LANES) * LANES
-    # past pad_l, x storage must fit all n real elements AND the highest
-    # index any diagonal reads ((m_pad-1)+max_off), plus one slab row for
-    # the unaligned b-load
-    pad_r_elems = max(n, m_pad + max(max(dia.offsets), 0)) + LANES
-    x_rows = pad_l // LANES + -(-pad_r_elems // LANES)
+    streamed = _stream_x_ok(dia)
+    if streamed:
+        # x rows must cover block m_pad/C (the xb stream of the last
+        # step) and all n real elements, rounded to whole C-blocks
+        x_rows = -(-max(
+            m_pad // LANES + R, (pad_l + n + LANES - 1) // LANES
+        ) // R) * R
+    else:
+        # whole-x residency: storage must fit all n real elements AND the
+        # highest index any diagonal reads ((m_pad-1)+max_off), plus one
+        # slab row for the unaligned b-load
+        pad_r_elems = max(n, m_pad + max(max(dia.offsets), 0)) + LANES
+        x_rows = pad_l // LANES + -(-pad_r_elems // LANES)
     xp = jnp.zeros(x_rows * LANES, jnp.float32)
     xv = x.astype(jnp.float32) * jnp.asarray(alpha, jnp.float32)
     xp = jax.lax.dynamic_update_slice(xp, xv, (pad_l,))
@@ -239,18 +310,30 @@ def _dia_spmv_jit(dia: DIAMatrix, x, alpha, interpret: bool):
             lambda i: (0, i, 0),
             memory_space=pltpu.VMEM,
         )
-    kernel = functools.partial(
-        _dia_kernel, offsets=dia.offsets, pad_l=pad_l, C=C,
-        interleaved=dia.interleaved,
-    )
+    if streamed:
+        kernel = functools.partial(
+            _dia_kernel_streamx, offsets=dia.offsets, pad_l=pad_l, C=C,
+            interleaved=dia.interleaved,
+        )
+        x_specs = [
+            pl.BlockSpec((R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (R, LANES), lambda i: (i + 1, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        operands = (data3, x2d, x2d)
+    else:
+        kernel = functools.partial(
+            _dia_kernel, offsets=dia.offsets, pad_l=pad_l, C=C,
+            interleaved=dia.interleaved,
+        )
+        x_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]  # x whole
+        operands = (data3, x2d)
     y2d = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad // LANES, LANES), jnp.float32),
         grid=(m_pad // C,),
-        in_specs=[
-            val_spec,
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole
-        ],
+        in_specs=[val_spec, *x_specs],
         out_specs=pl.BlockSpec(
             (C // LANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -263,7 +346,7 @@ def _dia_spmv_jit(dia: DIAMatrix, x, alpha, interpret: bool):
             bytes_accessed=nd * m_pad * dia.data.dtype.itemsize + (m + n) * 4,
             transcendentals=0,
         ),
-    )(data3, x2d)
+    )(*operands)
     return y2d.reshape(-1)[:m].astype(x.dtype)
 
 

@@ -135,3 +135,78 @@ def test_dia_layouts_match_oracle(layout):
         np.asarray(dia_spmm_xla(d, jnp.asarray(xm))), ym_ref,
         atol=1e-4 * np.abs(ym_ref).max(),
     )
+
+
+def test_dia_streamed_gate_has_no_size_cap():
+    """Streamed-x mode (two pipelined x blocks per grid step) removes the
+    whole-x VMEM residency cap: a fabricated 100M-row tridiagonal passes
+    the gate while a far-offset matrix falls back to the whole-x check."""
+    import jax.numpy as jnp
+
+    from benchmark_spmv_using_csr5_tpu.ops.dia import (
+        CHUNK_ROWS,
+        DIAMatrix,
+        _stream_x_ok,
+    )
+
+    m = 100_000_000
+    m_pad = -(-m // CHUNK_ROWS) * CHUNK_ROWS
+    d = DIAMatrix(
+        shape=(m, m),
+        offsets=(-1, 0, 1),
+        nnz_stored=3 * m,
+        data=jnp.zeros((1, 3, 128), jnp.float32),  # metadata-only stub
+        m_pad=m_pad,
+        interleaved=True,
+    )
+    assert _stream_x_ok(d) and dia_supported(d)
+    far = DIAMatrix(
+        shape=(m, m),
+        offsets=(0, CHUNK_ROWS),  # max_off > C - 128: whole-x fallback
+        nnz_stored=2 * m,
+        data=jnp.zeros((1, 2, 128), jnp.float32),
+        m_pad=m_pad,
+        interleaved=True,
+    )
+    assert not _stream_x_ok(far)
+    assert not dia_supported(far)  # whole x of 100M rows cannot fit VMEM
+
+
+def test_dia_far_offset_whole_x_path():
+    """Offsets beyond the streamed-window bound use the whole-x kernel."""
+    from benchmark_spmv_using_csr5_tpu.ops.dia import CHUNK_ROWS, _stream_x_ok
+
+    off = CHUNK_ROWS + 256
+    m, n = 600, CHUNK_ROWS + 1000
+    a = sp.diags(
+        [np.ones(m, np.float32), np.ones(m, np.float32)],
+        [0, off],
+        shape=(m, n),
+        format="csr",
+    )
+    d = build_dia((a.indptr, a.indices, a.data, a.shape))
+    assert d is not None and not _stream_x_ok(d)
+    x = synth.dense_x(n, dtype=np.float32)
+    y = np.asarray(dia_spmv(d, x, interpret=True))
+    np.testing.assert_allclose(y, a @ x, atol=1e-5)
+
+
+def test_dia_streamed_matches_whole_x():
+    """Both x paths produce identical results on the same matrix."""
+    from benchmark_spmv_using_csr5_tpu.ops import dia as dia_mod
+
+    a = sp.csr_matrix(synth.banded(40_000, 11, dtype=np.float32))
+    d = build_dia(_host(a))
+    assert dia_mod._stream_x_ok(d)
+    x = synth.dense_x(a.shape[1], dtype=np.float32)
+    y_stream = np.asarray(dia_spmv(d, x, interpret=True))
+    orig = dia_mod._stream_x_ok
+    dia_mod._stream_x_ok = lambda _d: False
+    try:
+        dia_mod._dia_spmv_jit.clear_cache()
+        y_whole = np.asarray(dia_spmv(d, x, interpret=True))
+    finally:
+        dia_mod._stream_x_ok = orig
+        dia_mod._dia_spmv_jit.clear_cache()
+    np.testing.assert_array_equal(y_stream, y_whole)
+    np.testing.assert_allclose(y_stream, a @ x, atol=1e-5)
