@@ -173,18 +173,21 @@ def dia_supported(dia: Optional[DIAMatrix]) -> bool:
 
 
 def dia_spmm_supported(dia: Optional[DIAMatrix], num_rhs: int) -> bool:
-    """R-aware gate for :func:`dia_spmm`: the multi-rhs kernel keeps all
-    R stacked x planes whole in VMEM, so the budget scales with R."""
+    """R-aware gate for :func:`dia_spmm`. Streamed-x mode holds two
+    (R, CHUNK_ROWS) x blocks; whole-x mode keeps all R stacked planes
+    resident, so its budget scales with R and n."""
     if not dia_supported(dia):
         return False
+    blk = 2 * dia.ndiag * CHUNK_ROWS * dia.data.dtype.itemsize
+    out_blk = 2 * num_rhs * CHUNK_ROWS * 4
+    if _stream_x_ok(dia):
+        return blk + out_blk + 4 * num_rhs * CHUNK_ROWS * 4 <= _VMEM_BUDGET
     pad_l = -(-max(0, -min(dia.offsets)) // LANES) * LANES
     x_rows = (
         pad_l // LANES
         + -(-dia.n // LANES)
         + -(-max(0, max(dia.offsets) + CHUNK_ROWS) // LANES)
     )
-    blk = 2 * dia.ndiag * CHUNK_ROWS * dia.data.dtype.itemsize
-    out_blk = 2 * num_rhs * CHUNK_ROWS * 4
     return num_rhs * x_rows * LANES * 4 + blk + out_blk <= _VMEM_BUDGET
 
 
@@ -402,6 +405,53 @@ def dia_spmv_xla(dia: DIAMatrix, x: jax.Array, alpha=1.0) -> jax.Array:
     return acc[:m].astype(x.dtype)
 
 
+def _dia_spmm_kernel_streamx(
+    val_ref, xa_ref, xb_ref, o_ref, *, offsets, pad_l, C, R, interleaved
+):
+    """Streamed-x multi-rhs variant (see :func:`_dia_kernel_streamx`).
+
+    xa_ref/xb_ref: (R, C//LANES, LANES) — blocks i and i+1 of every
+    right-hand side's padded x plane.
+    """
+    Rb = C // LANES
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (Rb, LANES), 1)
+    accs = [jnp.zeros((Rb, LANES), jnp.float32) for _ in range(R)]
+    cache = {}
+
+    def rows(r, q):
+        if (r, q) not in cache:
+            if q == 0:
+                cache[(r, q)] = xa_ref[r]
+            elif q == Rb:
+                cache[(r, q)] = xb_ref[r]
+            else:
+                cache[(r, q)] = jnp.concatenate(
+                    [xa_ref[r, q:, :], xb_ref[r, :q, :]], axis=0
+                )
+        return cache[(r, q)]
+
+    for k, off in enumerate(offsets):
+        s = off + pad_l
+        q, sh = divmod(s, LANES)
+        v = (val_ref[:, k, :] if interleaved else val_ref[k]).astype(
+            jnp.float32
+        )
+        for r in range(R):
+            if sh == 0:
+                xs = rows(r, q)
+            else:
+                a = rows(r, q)
+                b = rows(r, q + 1)
+                xs = jnp.where(
+                    lanes < LANES - sh,
+                    pltpu.roll(a, LANES - sh, axis=1),
+                    pltpu.roll(b, LANES - sh, axis=1),
+                )
+            accs[r] = accs[r] + v * xs
+    for r in range(R):
+        o_ref[r] = accs[r]
+
+
 def _dia_spmm_kernel(
     val_ref, x_ref, o_ref, *, offsets, pad_l, C, R, x_rows, interleaved
 ):
@@ -439,15 +489,21 @@ def _dia_spmm_jit(dia: DIAMatrix, xm, alpha, interpret: bool):
     m, n = dia.shape
     m_pad = dia.m_pad
     C = CHUNK_ROWS
+    Rb = C // LANES
     nd = dia.ndiag
     R = xm.shape[1]
     pad_l = -(-max(0, -min(dia.offsets)) // LANES) * LANES
-    pad_r_elems = max(n, m_pad + max(max(dia.offsets), 0)) + LANES
-    x_rows = pad_l // LANES + -(-pad_r_elems // LANES)
+    streamed = _stream_x_ok(dia)
+    if streamed:
+        x_rows = -(-max(
+            m_pad // LANES + Rb, (pad_l + n + LANES - 1) // LANES
+        ) // Rb) * Rb
+    else:
+        pad_r_elems = max(n, m_pad + max(max(dia.offsets), 0)) + LANES
+        x_rows = pad_l // LANES + -(-pad_r_elems // LANES)
     xt = xm.T.astype(jnp.float32) * jnp.asarray(alpha, jnp.float32)
     xp = jnp.zeros((R, x_rows * LANES), jnp.float32)
     xp = jax.lax.dynamic_update_slice(xp, xt, (0, pad_l))
-    x2d = xp.reshape(R * x_rows, LANES)
 
     if dia.interleaved:
         data3 = dia.data
@@ -463,20 +519,37 @@ def _dia_spmm_jit(dia: DIAMatrix, xm, alpha, interpret: bool):
             lambda i: (0, i, 0),
             memory_space=pltpu.VMEM,
         )
-    kernel = functools.partial(
-        _dia_spmm_kernel, offsets=dia.offsets, pad_l=pad_l, C=C, R=R,
-        x_rows=x_rows, interleaved=dia.interleaved,
-    )
+    if streamed:
+        x3d = xp.reshape(R, x_rows, LANES)
+        kernel = functools.partial(
+            _dia_spmm_kernel_streamx, offsets=dia.offsets, pad_l=pad_l,
+            C=C, R=R, interleaved=dia.interleaved,
+        )
+        x_specs = [
+            pl.BlockSpec(
+                (R, Rb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (R, Rb, LANES), lambda i: (0, i + 1, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        operands = (data3, x3d, x3d)
+    else:
+        x2d = xp.reshape(R * x_rows, LANES)
+        kernel = functools.partial(
+            _dia_spmm_kernel, offsets=dia.offsets, pad_l=pad_l, C=C, R=R,
+            x_rows=x_rows, interleaved=dia.interleaved,
+        )
+        x_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]  # x whole (R stacked)
+        operands = (data3, x2d)
     y3d = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
             (R, m_pad // LANES, LANES), jnp.float32
         ),
         grid=(m_pad // C,),
-        in_specs=[
-            val_spec,
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole (R stacked)
-        ],
+        in_specs=[val_spec, *x_specs],
         out_specs=pl.BlockSpec(
             (R, C // LANES, LANES), lambda i: (0, i, 0),
             memory_space=pltpu.VMEM,
@@ -491,7 +564,7 @@ def _dia_spmm_jit(dia: DIAMatrix, xm, alpha, interpret: bool):
             + R * (m + n) * 4,
             transcendentals=0,
         ),
-    )(data3, x2d)
+    )(*operands)
     ym = y3d.reshape(R, m_pad)[:, :m]
     return ym.T.astype(xm.dtype)
 

@@ -210,3 +210,25 @@ def test_dia_streamed_matches_whole_x():
         dia_mod._dia_spmv_jit.clear_cache()
     np.testing.assert_array_equal(y_stream, y_whole)
     np.testing.assert_allclose(y_stream, a @ x, atol=1e-5)
+
+
+def test_dia_spmm_streamed_matches_whole_x():
+    from benchmark_spmv_using_csr5_tpu.ops import dia as dia_mod
+
+    a = sp.csr_matrix(synth.banded(20_000, 9, dtype=np.float32))
+    d = build_dia(_host(a))
+    assert dia_mod._stream_x_ok(d)
+    xm = np.random.default_rng(1).integers(1, 10, (a.shape[1], 3)).astype(
+        np.float32
+    )
+    ym_stream = np.asarray(dia_mod.dia_spmm(d, xm, interpret=True))
+    orig = dia_mod._stream_x_ok
+    dia_mod._stream_x_ok = lambda _d: False
+    try:
+        dia_mod._dia_spmm_jit.clear_cache()
+        ym_whole = np.asarray(dia_mod.dia_spmm(d, xm, interpret=True))
+    finally:
+        dia_mod._stream_x_ok = orig
+        dia_mod._dia_spmm_jit.clear_cache()
+    np.testing.assert_array_equal(ym_stream, ym_whole)
+    np.testing.assert_allclose(ym_stream, a @ xm, atol=1e-5)
