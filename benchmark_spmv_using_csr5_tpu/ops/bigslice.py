@@ -40,6 +40,7 @@ from ..config import AUTO_TUNED_SIGMA, CSR5Config, compute_sigma
 from .convert import _as_host_csr, build_csr5
 from .csr5_kernel import _VMEM_BUDGET, csr5_spmv_pallas, pallas_supported
 
+LANES = 128
 #: row-quantum for the greedy slicer (boundaries land on multiples)
 SLICE_QUANTUM_ROWS = 131_072
 #: VMEM share available for x-window + y per slice (the rest covers the
@@ -90,8 +91,10 @@ def _slice_bounds(
     slice's rows + page-aligned column window fit ``elem_cap`` elements.
     Returns None when some single quantum already exceeds the cap."""
     # quantum scales down with the cap so tiny test caps still slice;
-    # production caps (~tens of M elements) use the full quantum
-    q = min(SLICE_QUANTUM_ROWS, m, max(64, -(-(elem_cap // 8) // 8) * 8))
+    # production caps (~tens of M elements) use the full quantum. Must be
+    # a multiple of 128 (slice row starts become 128-row y-flush offsets
+    # in the fused executor) except in the single-slice m < 128 case.
+    q = min(SLICE_QUANTUM_ROWS, m, max(128, -(-(elem_cap // 8) // 128) * 128))
     nq = -(-m // q)
     # per-quantum column ranges in one reduceat pass over col_idx
     starts = row_ptr[np.minimum(np.arange(nq) * q, m)]
@@ -198,17 +201,55 @@ def build_csr5_sliced(
     )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _sliced_spmv_jit(sl: SlicedCSR5, x, alpha, interpret: bool):
-    # fold alpha once; each slice sees alpha=1
-    xs = x * jnp.asarray(alpha, x.dtype)
-    outs = []
-    for a5, c0 in zip(sl.slices, sl.col_starts):
-        xk = jax.lax.slice(xs, (c0,), (min(c0 + a5.n, sl.n),))
-        if xk.shape[0] < a5.n:  # window pads past n (page alignment)
-            xk = jnp.pad(xk, (0, a5.n - xk.shape[0]))
-        outs.append(csr5_spmv_pallas(a5, xk, interpret=interpret))
-    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+@partial(jax.jit, static_argnames=("interpret", "scale"))
+def _sliced_spmv_jit(sl: SlicedCSR5, x, alpha, interpret: bool, scale: bool):
+    """The fused (xwin) executor: x stays ONE array in HBM — each slice's
+    kernel DMAs its page-aligned column window into VMEM at grid step 0
+    and flushes its y rows into ONE shared output buffer (aliased through
+    the calls), so the host-level per-slice x slice/pad copies and the
+    final y concatenate of the v1 executor are gone entirely. Offsets are
+    kernel *data*, so uniform slices still share one Mosaic binary."""
+    from .csr5_kernel import (
+        _effective_block,
+        _make_pallas_call,
+        build_meta_plane,
+    )
+
+    nx = -(-sl.n // 128)
+    xf = x.astype(jnp.float32)
+    if scale:
+        xf = xf * jnp.asarray(alpha, jnp.float32)
+    if sl.n % 128:
+        xf = jnp.pad(xf, (0, nx * 128 - sl.n))
+    x2d = xf.reshape(nx, 128)
+
+    out_rows = max(
+        (r0 + a5.m_pad) // LANES
+        for r0, a5 in zip(sl.row_starts, sl.slices)
+    )
+    y = jnp.zeros((out_rows, LANES), jnp.float32)
+    for a5, r0, c0 in zip(sl.slices, sl.row_starts, sl.col_starts):
+        cfg = a5.config
+        p, sigma = a5.num_tiles, cfg.sigma
+        meta = build_meta_plane(a5)
+        packed = a5.col_packed is not None
+        col2d = (
+            a5.col_packed.reshape(p * (sigma // 2), LANES)
+            if packed
+            else a5.col_idx_tiles.reshape(p * sigma, LANES)
+        )
+        val2d = a5.val_tiles.reshape(p * sigma, LANES)
+        B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
+        offs = jnp.array(
+            [[c0 // LANES, r0 // LANES] + [0] * 6], jnp.int32
+        )
+        call = _make_pallas_call(
+            p, B, sigma, a5.pmax, a5.capw, a5.n_pad, a5.m_pad, interpret,
+            contig=a5.pages_contig, packed=packed, win_rel=a5.win_rel,
+            out_rows=out_rows,
+        )
+        y = call(meta, col2d, val2d, a5.win_map, x2d, offs, y)
+    return y.reshape(-1)[: sl.m].astype(x.dtype)
 
 
 def sliced_spmv(
@@ -216,8 +257,10 @@ def sliced_spmv(
 ) -> jax.Array:
     """y = alpha * A @ x over the row slices — ONE jitted dispatch running
     the per-slice Pallas kernels sequentially (uniform slices share one
-    Mosaic binary) and concatenating the slice outputs."""
-    return _sliced_spmv_jit(sl, x, alpha, interpret)
+    Mosaic binary), each reading its x window straight from HBM and
+    writing its y rows into the shared output buffer."""
+    scale = not (isinstance(alpha, (int, float)) and float(alpha) == 1.0)
+    return _sliced_spmv_jit(sl, x, alpha if scale else 1.0, interpret, scale)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -201,13 +201,7 @@ def _spmv_kernel(
     val_ref,  # (B*sigma, 128) f32 VMEM block
     win_ref,  # (B, capw) i32 VMEM block (packed sub | lane<<16)
     x_ref,  # (R*(n_pad/128 + 1), 128) f32 VMEM whole (zero sentinel rows)
-    out_ref,  # (R*m_pad/128, 128) f32 HBM (ANY) output, written once at end
-    y_ref,  # (R*m_pad/128, 128) f32 VMEM scratch accumulator
-    prod_ref,  # (sigma, R*B*128) f32 scratch: per-block products
-    pv_ref,  # (sigma, R*B*G*128) f32 scratch: masked window columns
-    lt_ref,  # (R*B, 128) f32 scratch: per-(tile, rhs) lane totals
-    out_sem,  # DMA semaphore for the final copy-out
-    *,
+    *rest,  # [xwin: off_ref SMEM (1,8), yprev_ref ANY] out_ref, scratches
     B: int,
     sigma: int,
     pmax: int,
@@ -216,7 +210,27 @@ def _spmv_kernel(
     contig: bool = False,
     packed: bool = False,
     win_rel: bool = False,
+    xwin: bool = False,
 ):
+    """Kernel body. Default mode: x arrives whole as a VMEM block input
+    and out_ref is this matrix's own (m_pad) buffer.
+
+    ``xwin`` mode (the fused row-sliced path, ops/bigslice.py): x_ref is
+    the FULL x in HBM (ANY); the slice's page-aligned column window
+    [off_ref[0,0], +nxw) is DMA'd once into the xw_ref VMEM scratch at
+    grid step 0 (plus a zero sentinel row), and the final flush DMAs y
+    into the SHARED whole-matrix output at row offset off_ref[0,1]
+    (yprev_ref is the previous slice's buffer, aliased to out_ref, so
+    earlier slices' rows pass through untouched). Offsets are data, not
+    statics — every uniform slice shares one Mosaic binary.
+    """
+    if xwin:
+        (off_ref, yprev_ref, out_ref, y_ref, prod_ref, pv_ref, lt_ref,
+         out_sem, xw_ref, x_sem) = rest
+        del yprev_ref  # present only to alias the output buffer
+    else:
+        out_ref, y_ref, prod_ref, pv_ref, lt_ref, out_sem = rest
+
     # y accumulates in VMEM *scratch*, which persists across the
     # sequential grid; making y a pipelined output block instead causes
     # Pallas to write the whole window back to HBM every grid step
@@ -226,6 +240,22 @@ def _spmv_kernel(
     @pl.when(i == 0)
     def _init():
         y_ref[:] = jnp.zeros_like(y_ref)
+
+    if xwin:
+        nxw = xw_ref.shape[0] - 1
+        x_hbm = x_ref
+        x_ref = xw_ref  # all gather-tier reads below hit the VMEM window
+
+        @pl.when(i == 0)
+        def _load_x():
+            xw_ref[nxw:, :] = jnp.zeros((1, LANES), jnp.float32)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(off_ref[0, 0], nxw)],
+                xw_ref.at[pl.ds(0, nxw)],
+                x_sem,
+            )
+            cp.start()
+            cp.wait()
 
     G = capw // LANES
     nx_rows = x_ref.shape[0] // R
@@ -540,45 +570,80 @@ def _spmv_kernel(
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _flush():
-        cp = pltpu.make_async_copy(y_ref, out_ref, out_sem)
+        if xwin:
+            cp = pltpu.make_async_copy(
+                y_ref,
+                out_ref.at[pl.ds(off_ref[0, 1], y_ref.shape[0])],
+                out_sem,
+            )
+        else:
+            cp = pltpu.make_async_copy(y_ref, out_ref, out_sem)
         cp.start()
         cp.wait()
 
 
 def _make_pallas_call(
     p, B, sigma, pmax, capw, n_pad, m_pad, interpret, R=1, contig=False,
-    packed=False, win_rel=False,
+    packed=False, win_rel=False, out_rows=None,
 ):
+    """The SpMV/SpMM pallas_call. ``out_rows`` switches on the fused
+    row-sliced (xwin) calling convention: extra (off, y_prev) operands,
+    x in ANY space, output the whole-matrix (out_rows, 128) buffer
+    aliased to y_prev."""
+    xwin = out_rows is not None
     kernel = functools.partial(
         _spmv_kernel, B=B, sigma=sigma, pmax=pmax, capw=capw, R=R, contig=contig,
-        packed=packed, win_rel=win_rel,
+        packed=packed, win_rel=win_rel, xwin=xwin,
     )
     mw = _meta_width(pmax)
     crows = B * (sigma // 2 if packed else sigma)
+    in_specs = [
+        pl.BlockSpec((B, mw), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((crows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B * sigma, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, capw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((R * m_pad // LANES, LANES), jnp.float32),  # y acc
+        pltpu.VMEM((sigma, R * B * LANES), jnp.float32),  # block products
+        # R == 1: masked window columns, one slot per (tile, group);
+        # R > 1: the batched within-lane prefixes, one slot per (tile, rhs)
+        pltpu.VMEM(
+            (sigma, B * (capw // LANES) * LANES if R == 1 else R * B * LANES),
+            jnp.float32,
+        ),
+        pltpu.VMEM((R * B, LANES), jnp.float32),  # lane totals
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    alias = {}
+    if xwin:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # x full, HBM
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (1,8) window offsets
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # y_prev
+        ]
+        out_shape = jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)
+        # x window scratch: the slice's n_pad rows + one zero sentinel row
+        scratch += [
+            pltpu.VMEM((n_pad // LANES + 1, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        alias = {6: 0}  # y_prev buffer IS the output buffer
+    else:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole (+ sentinels)
+        ]
+        out_shape = jax.ShapeDtypeStruct(
+            (R * m_pad // LANES, LANES), jnp.float32
+        )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((R * m_pad // LANES, LANES), jnp.float32),
+        out_shape=out_shape,
         grid=(p // B,),
-        in_specs=[
-            pl.BlockSpec((B, mw), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((crows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B * sigma, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, capw), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole (+ sentinel rows)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # manual copy-out
-        scratch_shapes=[
-            pltpu.VMEM((R * m_pad // LANES, LANES), jnp.float32),  # y acc
-            pltpu.VMEM((sigma, R * B * LANES), jnp.float32),  # block products
-            # R == 1: masked window columns, one slot per (tile, group);
-            # R > 1: the batched within-lane prefixes, one slot per (tile, rhs)
-            pltpu.VMEM(
-                (sigma, B * (capw // LANES) * LANES if R == 1 else R * B * LANES),
-                jnp.float32,
-            ),
-            pltpu.VMEM((R * B, LANES), jnp.float32),  # lane totals
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
+        input_output_aliases=alias,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
