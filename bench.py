@@ -31,25 +31,30 @@ import sys
 import threading
 import time
 
-#: priority order: the six round-1 cases first (primary leads), then the
-#: real-.mtx and reorder demonstrations
+#: priority order: the primary first (it is the round metric), then the
+#: cheap seconds-scale cases (in round 2 the expensive banded2M/20M cases
+#: ran first and exhausted the budget before six cases ever launched —
+#: VERDICT weak #3), then the big-matrix cases last
 CASES = [
     "banded500k",
+    "dia_tridiag500k",
+    "df64_banded500k",  # double-single f64 kernel + accuracy report
+    "hybmix400k",  # HYB5 format slot: banded core + noise vs pure CSR5
+    "scrambled300k",
+    "scrambled300k_rcm",
+    "mtx_lap2d_490k",
+    "mtx_powlaw300k",
     "scatband300k",
     "powerlaw200k",
     "spmm8_banded500k",
-    "dia_tridiag500k",
     "banded2M",
     "banded20M",  # row-sliced path: beyond the whole-matrix VMEM cap
-    "df64_banded500k",  # double-single f64 kernel + accuracy report
-    "mtx_lap2d_490k",
-    "mtx_powlaw300k",
-    "scrambled300k",
-    "scrambled300k_rcm",
-    "hybmix400k",  # HYB5 format slot: banded core + noise vs pure CSR5
 ]
-#: no JSON line for this long -> the tunnel is hung; kill + relaunch
-CASE_INACTIVITY_S = {"banded2M": 700, "banded20M": 700}
+#: no JSON line for this long -> the tunnel is hung; kill + relaunch.
+#: The child emits heartbeat lines at every conversion/timing milestone,
+#: so patience bounds the longest SILENT step (one jit compile / one
+#: device-loop sample), not a whole case
+CASE_INACTIVITY_S = {"banded2M": 400, "banded20M": 500}
 CASE_INACTIVITY_DEFAULT_S = 330
 #: stop launching once past this point (driver window ~25 min observed)
 TOTAL_BUDGET_S = 1290
@@ -163,6 +168,8 @@ def run_suite(names, results):
             try:
                 res = json.loads(line)
             except ValueError:
+                continue
+            if "hb" in res:  # heartbeat: liveness only, not a result
                 continue
             name = res.get("name")
             if name in pending:

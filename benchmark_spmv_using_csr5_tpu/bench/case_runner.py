@@ -170,6 +170,7 @@ def _run_csr5_case(name: str) -> dict:
         "nnz_per_sec": res.nnz_per_sec,
         "backend": res.backend,
         "check_ok": bool(res.check_ok),
+        "max_rel_err": float(f"{res.max_rel_err:.3e}"),
         "sigma": res.sigma,
         "convert_ms": round(res.convert_ms, 1),
         "convert_phases_ms": {
@@ -422,15 +423,29 @@ def run_one(name: str) -> dict:
 
 def main() -> int:
     _parent_watchdog()
+    from ..utils import nativelib, progress
+
+    # build/load the native library before any timed phase (a first-call
+    # rebuild once showed up as 3.6 s inside a conversion phase)
+    nativelib.available()
     names = sys.argv[1:]
     ok = True
     for name in names:
+        # heartbeat sink: one flushed JSON line per long-phase milestone,
+        # resetting the parent watchdog (bench.py skips lines with "hb")
+        progress.set_sink(
+            lambda ph, _n=name: print(
+                json.dumps({"hb": _n, "phase": ph, "t": round(time.monotonic(), 1)}),
+                flush=True,
+            )
+        )
         try:
             out = run_one(name)
         except Exception as e:  # noqa: BLE001 — report, keep going
             out = {"name": name, "error": f"{type(e).__name__}: {str(e)[:300]}"}
             ok = False
         print(json.dumps(out), flush=True)
+    progress.set_sink(None)
     return 0 if ok else 1
 
 

@@ -33,7 +33,7 @@ from ..ops.convert import build_csr5
 from ..ops.csr5_kernel import csr5_spmv_pallas, pallas_supported
 from ..ops.csr5_spmv import csr5_spmv_xla
 from ..ops.reference import csr_spmv
-from ..utils import perf
+from ..utils import perf, progress
 
 
 @dataclasses.dataclass
@@ -114,10 +114,12 @@ def time_spmv_device_loop(spmv_fn, x, num_run: int, operands=None) -> float:
     def sample(k, reps=5):
         best = float("inf")
         _ = _force(run_k(operands, x, k))  # compile + warm
+        progress.emit(f"timing:warm k={k}")
         for _ in range(reps):
             t0 = time.perf_counter()
             _ = _force(run_k(operands, x, k))
             best = min(best, time.perf_counter() - t0)
+            progress.emit(f"timing:rep k={k}")
         return best
 
     t_full = sample(num_run)
@@ -156,9 +158,11 @@ def run_benchmark(
     # golden model (main.cu:336-355): sparse-aware host oracle
     import scipy.sparse as sp
 
+    progress.emit("golden")
     a_sp = sp.csr_matrix((values, col_idx, row_ptr), shape=shape)
     y_ref = a_sp @ x
 
+    progress.emit("convert")
     t0 = time.perf_counter()
     # pass host arrays directly: device readback over the tunnel is ~6 MB/s
     cfg = CSR5Config(sigma=compute_sigma(m, nnz, sigma))
@@ -263,6 +267,7 @@ def run_benchmark(
             spmv_fn = lambda a, xx: csr5_spmv_xla(a, xx)  # noqa: E731
 
     # correctness at the reference tolerance (main.cu:361-384)
+    progress.emit("check")  # includes a slow ~6 MB/s y readback at big m
     if df64 is not None:
         from ..ops.csr5_df64 import df64_combine, df64_spmv
 
@@ -277,7 +282,9 @@ def run_benchmark(
     max_rel = float(rel.max()) if rel.size else 0.0
     check_ok = bool(max_rel <= 0.01)
 
+    progress.emit("timing")  # jit compile + min-of-samples device loops
     spmv_ms = time_spmv_device_loop(spmv_fn, xd, num_run, operands=operands)
+    progress.emit("timing:done")
     met = perf.spmv_metrics(
         m,
         nnz,

@@ -37,6 +37,8 @@ import numpy as np
 from flax import struct
 
 from ..config import AUTO_TUNED_SIGMA, CSR5Config, compute_sigma
+from ..utils import progress
+from ..utils.hostmem import arena_take
 from .convert import _as_host_csr, build_csr5
 from .csr5_kernel import _VMEM_BUDGET, csr5_spmv_pallas, pallas_supported
 
@@ -175,12 +177,19 @@ def build_csr5_sliced(
     slices = []
     row_starts = [0]
     col_starts = []
-    for r0, r1, c0, c1 in bounds:
+    for si, (r0, r1, c0, c1) in enumerate(bounds):
+        progress.emit(f"slice:{si + 1}/{len(bounds)}")
         k0, k1 = int(row_ptr[r0]), int(row_ptr[r1])
-        rp = (row_ptr[r0 : r1 + 1] - k0).astype(np.int64)
+        rp = arena_take(r1 - r0 + 1, np.int64, "sl:rp", zero=False)
+        np.subtract(row_ptr[r0 : r1 + 1], k0, out=rp)
         ci = col_idx[k0:k1]
         if c0:
-            ci = ci - np.int32(c0)
+            # arena-backed (a fresh nnz-scale temp per slice otherwise
+            # first-touches a new mapping each time; the same buffer is
+            # reused by every slice)
+            cs = arena_take(k1 - k0, np.int32, "sl:ci", zero=False)
+            np.subtract(ci, np.int32(c0), out=cs)
+            ci = cs
         n_k = max(c1 - c0, 128)
         a5 = build_csr5(
             (rp, ci, values[k0:k1], (r1 - r0, n_k)),

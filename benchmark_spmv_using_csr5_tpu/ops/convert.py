@@ -49,6 +49,8 @@ import numpy as np
 
 from ..config import AUTO_TUNED_SIGMA, CSR5Config, compute_sigma
 from ..models.formats import CSR5Matrix, CSRMatrix
+from ..utils import progress
+from ..utils.hostmem import arena_take
 
 #: columns per x-page = one (1, 128) f32 VMEM row (NOTES.md gather design)
 PAGE_COLS = 128
@@ -240,6 +242,7 @@ def build_csr5(
         now = time.perf_counter()
         _ph[name] = _ph.get(name, 0.0) + (now - _t0) * 1e3
         _t0 = now
+        progress.emit(f"convert:{name}")
 
     p = max(1, -(-nnz // T))  # every tile padded; tail is the last tile
     # pad tile count to a multiple of tiles_per_block for the kernel grid
@@ -247,22 +250,36 @@ def build_csr5(
     p_pad = -(-p // B) * B
     nnz_pad = p_pad * T
 
-    col_flat = np.zeros(nnz_pad, dtype=np.int32)
-    val_flat = np.zeros(nnz_pad, dtype=values.dtype)
+    # nnz-scale scratch comes from the process-lifetime arena: fresh
+    # anonymous mappings first-touch at ~90 MB/s on this host even via
+    # the prefault path, and glibc's reuse of freed large blocks is
+    # state-dependent (the same conversion measured 2.1 s and 25.1 s in
+    # one BENCH_r02 child) — kept buffers write at ~9 GB/s every time
+    col_flat = arena_take(nnz_pad, np.int32, "cv:col_flat", zero=False)
+    val_flat = arena_take(nnz_pad, values.dtype, "cv:val_flat", zero=False)
     col_flat[:nnz] = col_idx
     val_flat[:nnz] = values
+    val_flat[nnz:] = 0
     if nnz:
         # pad columns repeat the last real column (values stay zero): a
         # zero pad column would stretch the tail tile's x-page span to
         # [0, last], breaking the contiguous-pages gather mode
         col_flat[nnz:] = col_idx[-1] if len(col_idx) else 0
+    else:
+        col_flat[:] = 0
 
     _mark("malloc")
     # --- partition pointer + dirty bits (format_cuda.h:21-95) ----------
     bounds = np.arange(p_pad + 1, dtype=np.int64) * T
     tile_ptr = np.clip(np.searchsorted(row_ptr, bounds, side="right") - 1, 0, m)
-    empty = (np.diff(row_ptr) == 0).astype(np.int64)
-    e_prefix = np.zeros(m + 1, dtype=np.int64)
+    empty = arena_take(m, np.int64, "cv:empty", zero=False)
+    emp_b = arena_take(m, np.bool_, "cv:emptyb", zero=False)
+    np.equal(row_ptr[1:], row_ptr[:-1], out=emp_b)
+    # widen bool->int64 before the cumsum (bool cumsum is ~190x slower,
+    # NOTES.md); both scratch planes live in the arena
+    np.copyto(empty, emp_b, casting="unsafe")
+    e_prefix = arena_take(m + 1, np.int64, "cv:eprefix", zero=False)
+    e_prefix[0] = 0
     np.cumsum(empty, out=e_prefix[1:])
     start, stop = tile_ptr[:-1], np.minimum(tile_ptr[1:], m - 1)
     dirty = (e_prefix[stop + 1] - e_prefix[np.minimum(start + 1, m)]) > 0
@@ -346,7 +363,7 @@ def build_csr5(
         pmax = max(-(-cnt_max // 8) * 8, 2)
         pages_contig = False
         if plan is not None:
-            pages = make_lists(pmax, page_sentinel)
+            pages = make_lists(pmax, page_sentinel, arena="cv:pages")
         else:
             pages = np.full((p_pad, pmax), page_sentinel, dtype=np.int32)
             # NB: cumsum on a bool array takes numpy's pathologically slow
@@ -368,12 +385,23 @@ def build_csr5(
     col16 = None
     if pmax <= 512 and sig % 16 == 0:
         if pages_contig:
-            # local = page - slab_lo, broadcast per tile (cheap, vectorised)
+            # local = page - slab_lo, broadcast per tile; all temps are
+            # arena-backed (3 nnz-scale planes otherwise churn fresh
+            # mappings every conversion)
             cf2 = col_flat.reshape(p_pad, T)
-            local = (cf2 >> 7) - lo[:, None]
-            col16 = ((cf2 & 127) | (local << 7)).astype(np.uint16).reshape(-1)
+            t1 = arena_take((p_pad, T), np.int32, "cv:c16a", zero=False)
+            t2 = arena_take((p_pad, T), np.int32, "cv:c16b", zero=False)
+            np.right_shift(cf2, 7, out=t1)
+            np.subtract(t1, lo[:, None], out=t1)  # local page index
+            np.left_shift(t1, 7, out=t1)
+            np.bitwise_and(cf2, 127, out=t2)
+            np.bitwise_or(t1, t2, out=t1)
+            col16 = arena_take(nnz_pad, np.uint16, "cv:col16", zero=False)
+            np.copyto(col16, t1.reshape(-1), casting="unsafe")
         else:
-            col16 = nativelib.col_local_packed(col_flat, p_pad, T, page_sentinel + 1)
+            col16 = nativelib.col_local_packed(
+                col_flat, p_pad, T, page_sentinel + 1, arena="cv:col16"
+            )
             if col16 is None:
                 # numpy fallback: rank pages within each tile via argsort
                 pg2 = (col_flat >> 7).reshape(p_pad, T)
@@ -414,15 +442,31 @@ def build_csr5(
         capw = -(-(int(span.max()) + 1) // 128) * 128
         off = rs & 127
         d = np.arange(capw)[None, :]
-        ridx = np.minimum((rs - off) + d + np.where(d < off, capw, 0) + 1, m)
+        ridx = arena_take((p_pad, capw), np.int64, "cv:ridx", zero=False)
+        np.add(rs - off, d + 1, out=ridx)
+        wmask = arena_take((p_pad, capw), np.bool_, "cv:wmask", zero=False)
+        np.less(d, off, out=wmask)
+        np.add(ridx, capw, out=ridx, where=wmask)
+        np.minimum(ridx, m, out=ridx)
     else:
         capw = _pow2_at_least(int(span.max()) + 1 + 128, 128)
         d = np.arange(capw)[None, :]
-        ridx = np.minimum((rs // 128) * 128 + d + 1, m)
-    win_end = np.clip(row_ptr[ridx] - 1 - (np.arange(p_pad) * T)[:, None], 0, T - 1)
-    win_map = (win_end % sig).astype(np.int32) | (
-        (win_end // sig).astype(np.int32) << 16
-    )
+        ridx = arena_take((p_pad, capw), np.int64, "cv:ridx", zero=False)
+        np.add((rs // 128) * 128, d + 1, out=ridx)
+        np.minimum(ridx, m, out=ridx)
+    # win_end / win_map built in-place over two arena planes (out-of-place
+    # numpy here cost seconds of fresh-mapping first-touch per conversion)
+    wq = arena_take((p_pad, capw), np.int64, "cv:wq", zero=False)
+    np.take(row_ptr, ridx, out=wq)
+    np.subtract(wq, 1, out=wq)
+    np.subtract(wq, (np.arange(p_pad, dtype=np.int64) * T)[:, None], out=wq)
+    np.clip(wq, 0, T - 1, out=wq)
+    np.floor_divide(wq, sig, out=ridx)  # ridx reused as the slot-row plane
+    np.left_shift(ridx, 16, out=ridx)
+    np.remainder(wq, sig, out=wq)
+    np.bitwise_or(wq, ridx, out=wq)
+    win_map = arena_take((p_pad, capw), np.int32, "cv:winmap", zero=False)
+    np.copyto(win_map, wq, casting="unsafe")
 
     _mark("tpu_plan")
     # --- AoS->SoA tile transpose (format_cuda.h:525-744) ----------------
@@ -442,23 +486,31 @@ def build_csr5(
         vdt = np.dtype(np.float32)
     else:
         vdt = val_flat.dtype
-    val_cast = val_flat if val_flat.dtype == vdt else val_flat.astype(vdt)
+    if val_flat.dtype == vdt:
+        val_cast = val_flat
+    else:
+        val_cast = arena_take(nnz_pad, vdt, "cv:valcast", zero=False)
+        np.copyto(val_cast, val_flat, casting="unsafe")
 
-    col_tr = nativelib.tile_transpose(col_flat, p_pad, sig, omega)
-    val_tr = nativelib.tile_transpose(val_cast, p_pad, sig, omega)
+    col_tr = nativelib.tile_transpose(col_flat, p_pad, sig, omega, arena="cv:coltr")
+    val_tr = nativelib.tile_transpose(val_cast, p_pad, sig, omega, arena="cv:valtr")
     pk_tr = (
-        nativelib.pack_col16(col16, p_pad, sig, omega)
+        nativelib.pack_col16(col16, p_pad, sig, omega, arena="cv:pktr")
         if col16 is not None
         else None
     )
+    # NB: arena-backed host planes MUST be uploaded with jnp.array
+    # (copy=True): on the CPU backend jnp.asarray can alias the host
+    # buffer zero-copy, and the arena reuses that memory on the next
+    # conversion (the TPU path always copies either way)
     if col_tr is not None:
-        col_tiles = jnp.asarray(col_tr)  # (p, sig, om), pure upload
+        col_tiles = jnp.array(col_tr)  # (p, sig, om), pure upload
     else:
         col_tiles = jnp.swapaxes(
             jnp.asarray(col_flat, jnp.int32).reshape(p_pad, omega, sig), 1, 2
         )
     if val_tr is not None:
-        val_tiles = jnp.asarray(val_tr)
+        val_tiles = jnp.array(val_tr)
     else:
         val_tiles = jnp.swapaxes(
             jnp.asarray(val_flat).reshape(p_pad, omega, sig), 1, 2
@@ -468,7 +520,7 @@ def build_csr5(
     col_packed = None
     if col16 is not None:
         if pk_tr is not None:
-            col_packed = jnp.asarray(pk_tr)
+            col_packed = jnp.array(pk_tr)
         else:
             # combine sigma-row pairs (s, s+sigma/2) into int32 on device
             c32 = jnp.asarray(col16).reshape(p_pad, omega, sig).astype(jnp.int32)
@@ -485,7 +537,7 @@ def build_csr5(
         config=config,
         num_tiles=p_pad,
         nnz_stored=nnz,
-        row_ptr=jnp.asarray(row_ptr, jdt),
+        row_ptr=jnp.array(row_ptr, jdt),
         tile_ptr=jnp.asarray(tile_ptr, jdt),
         tile_dirty=jnp.asarray(dirty),
         y_offset=jnp.asarray(y_offset, jdt),
@@ -495,10 +547,10 @@ def build_csr5(
         empty_offset=jnp.asarray(eo, jdt),
         col_idx_tiles=col_tiles,
         val_tiles=val_tiles,
-        pages=jnp.asarray(pages, jdt),
+        pages=jnp.array(pages, jdt),
         pages_contig=pages_contig,
         page_cnt=jnp.asarray(page_cnt, jdt),
-        win_map=jnp.asarray(win_map, jdt),
+        win_map=jnp.array(win_map, jdt),
         col_packed=col_packed,
         win_rel=win_rel,
         tail_row_start=tail_row_start,

@@ -27,7 +27,16 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .hostmem import prefaulted
+from .hostmem import arena_take, prefaulted
+
+
+def _out_buf(shape, dtype, arena: Optional[str], zero: bool = True):
+    """Output buffer: arena-backed (reused, deterministic speed) when the
+    caller passes an arena tag, else a fresh prefaulted allocation. Arena
+    callers must copy the result out before their next same-tag call."""
+    if arena is not None:
+        return arena_take(shape, dtype, arena, zero=zero)
+    return prefaulted(shape, dtype)
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -237,8 +246,8 @@ def page_plan(col_flat: np.ndarray, p: int, tile_nnz: int, n_pages: int):
         ctypes.byref(cnt_max),
     )
 
-    def make_lists(pmax: int, sentinel: int) -> np.ndarray:
-        pages = prefaulted((p, pmax), np.int32)
+    def make_lists(pmax: int, sentinel: int, arena: Optional[str] = None) -> np.ndarray:
+        pages = _out_buf((p, pmax), np.int32, arena)
         lib.csr5_page_lists(
             ctypes.c_int64(p),
             ctypes.c_int64(tile_nnz),
@@ -254,7 +263,8 @@ def page_plan(col_flat: np.ndarray, p: int, tile_nnz: int, n_pages: int):
 
 
 def col_local_packed(
-    col_flat: np.ndarray, p: int, tile_nnz: int, n_pages: int
+    col_flat: np.ndarray, p: int, tile_nnz: int, n_pages: int,
+    arena: Optional[str] = None,
 ) -> Optional[np.ndarray]:
     """Per-element ``lane | local_page<<7`` uint16 plane (list gather mode).
 
@@ -266,7 +276,7 @@ def col_local_packed(
     if lib is None:
         return None
     col_flat = np.ascontiguousarray(col_flat, np.int32)
-    out = prefaulted(p * tile_nnz, np.uint16)
+    out = _out_buf(p * tile_nnz, np.uint16, arena)
     lib.csr5_col_local(
         ctypes.c_int64(p),
         ctypes.c_int64(tile_nnz),
@@ -377,7 +387,8 @@ def empty_offsets(
 
 
 def tile_transpose(
-    flat: np.ndarray, p: int, sigma: int, omega: int
+    flat: np.ndarray, p: int, sigma: int, omega: int,
+    arena: Optional[str] = None,
 ) -> Optional[np.ndarray]:
     """AoS->SoA tile transpose on host: flat ``(p*omega*sigma,)`` element-
     order array -> ``(p, sigma, omega)`` (format_cuda.h:525-744 parity).
@@ -392,7 +403,7 @@ def tile_transpose(
     if esize not in (2, 4, 8):
         return None
     flat = np.ascontiguousarray(flat)
-    out = prefaulted((p, sigma, omega), flat.dtype)
+    out = _out_buf((p, sigma, omega), flat.dtype, arena, zero=False)
     rc = lib.csr5_tile_transpose(
         ctypes.c_int64(p),
         ctypes.c_int64(omega),
@@ -405,7 +416,8 @@ def tile_transpose(
 
 
 def pack_col16(
-    col16: np.ndarray, p: int, sigma: int, omega: int
+    col16: np.ndarray, p: int, sigma: int, omega: int,
+    arena: Optional[str] = None,
 ) -> Optional[np.ndarray]:
     """uint16 lane|local codes (flat element order) -> packed int32
     ``(p, sigma/2, omega)`` plane pairing sigma-rows (s, s + sigma/2).
@@ -417,7 +429,7 @@ def pack_col16(
     if lib is None:
         return None
     col16 = np.ascontiguousarray(col16, np.uint16)
-    out = prefaulted((p, sigma // 2, omega), np.int32)
+    out = _out_buf((p, sigma // 2, omega), np.int32, arena, zero=False)
     lib.csr5_pack_col16(
         ctypes.c_int64(p),
         ctypes.c_int64(omega),
