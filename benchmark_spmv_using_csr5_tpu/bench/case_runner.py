@@ -162,6 +162,8 @@ def _run_csr5_case(name: str) -> dict:
         num_run=num_run, num_rhs=rhs, autotune=autotune,
     )
     print(res.report(), file=sys.stderr)
+    if rhs > 1:
+        extra.update(_spmm_auto_extra(name, a, rhs, num_run, res))
     out = {
         "name": name,
         "gflops": round(res.gflops, 2),
@@ -178,7 +180,71 @@ def _run_csr5_case(name: str) -> dict:
         },
     }
     out.update(extra)
+    if rhs > 1 and extra.get("auto_check_ok") and extra.get(
+        "auto_spmm_ms", 1e30
+    ) < res.spmv_ms:
+        # the framework's front door is the format selector: report the
+        # auto-selected SpMM path as the headline (the CSR5-kernel number
+        # stays alongside as csr5_spmm_ms)
+        out["csr5_spmm_ms"] = out["spmv_ms"]
+        out["spmv_ms"] = extra["auto_spmm_ms"]
+        out["backend"] = f"auto:{extra['auto_format']}"
+        ms = extra["auto_spmm_ms"]
+        out["gflops"] = round(2 * a.nnz * rhs / (ms * 1e-3) / 1e9, 2)
+        out["nnz_per_sec"] = a.nnz / (ms * 1e-3)
+        from ..utils.perf import get_bytes
+
+        gb = get_bytes(a.shape[0], a.nnz, 4, 4) / 1e9
+        out["pct_roofline"] = round(gb / (ms * 1e-3) / 8.19, 2)
     return out
+
+
+def _spmm_auto_extra(name, a, rhs, num_run, csr5_res) -> dict:
+    """Format-selector extra for SpMM cases: when the structural selector
+    picks DIA, time the round-2 streamed-x DIA SpMM side by side (the
+    diagonal value stream is paid once for all rhs — the amortization the
+    CSR5 gather kernel cannot reach; NOTES round 3)."""
+    import jax.numpy as jnp
+
+    from ..ops.select import select_format
+    from .harness import time_spmv_device_loop
+
+    fmt = select_format(a.indptr, a.indices, a.shape)
+    extra = {"auto_format": fmt}
+    if fmt != "dia":
+        return extra
+    try:
+        from ..ops.dia import build_dia, dia_spmm, dia_spmm_supported
+
+        d = build_dia((a.indptr, a.indices, a.data, a.shape))
+        if d is None or not dia_spmm_supported(d, rhs):
+            return extra
+        rng = np.random.default_rng(0)
+        xm = rng.integers(1, 10, (a.shape[1], rhs)).astype(np.float32)
+        xd = jnp.asarray(xm)
+        y_ref = a @ xm
+        y = np.asarray(dia_spmm(d, xd))
+        rel = float(
+            (np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-30)).max()
+        )
+        ms = time_spmv_device_loop(
+            lambda d_, x_: dia_spmm(d_, x_), xd, num_run, operands=d
+        )
+        extra.update(
+            {
+                "auto_spmm_ms": round(ms, 4),
+                "auto_check_ok": rel <= 0.01,
+                "auto_speedup_vs_csr5": round(csr5_res.spmv_ms / ms, 2),
+            }
+        )
+        print(
+            f"[{name}] auto-format dia spmm: {ms:.4f} ms "
+            f"({csr5_res.spmv_ms / ms:.1f}x vs csr5 kernel) rel={rel:.1e}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 — extra must not sink the case
+        extra["auto_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    return extra
 
 
 def _run_mtx_case(name: str) -> dict:

@@ -467,6 +467,18 @@ def build_csr5(
     np.bitwise_or(wq, ridx, out=wq)
     win_map = arena_take((p_pad, capw), np.int32, "cv:winmap", zero=False)
     np.copyto(win_map, wq, casting="unsafe")
+    if win_rel:
+        # wrap-flag bits (packed next to sub|lane<<16; bits 0-9 sub,
+        # 16-22 lane): bit 23 = this slot is the tile's FIRST row
+        # (d == rs%128, the W_prev reset), bit 24 = d >= rs%128 (the
+        # group-0 high-part mask). They let the kernel's batched window
+        # pass derive both per-tile masks as (B,128) vector ops instead
+        # of per-tile scalar broadcasts. Kernels must mask lane reads
+        # with (wm >> 16) & 127.
+        np.greater_equal(d, off, out=wmask)
+        np.add(win_map, 1 << 24, out=win_map, where=wmask)
+        np.equal(d, off, out=wmask)
+        np.add(win_map, 1 << 23, out=win_map, where=wmask)
 
     _mark("tpu_plan")
     # --- AoS->SoA tile transpose (format_cuda.h:525-744) ----------------

@@ -401,7 +401,7 @@ def _df64_kernel(
         wg_h, wg_l = [], []
         for g in range(G):
             wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
-            ws, wl = wm & 0xFFFF, wm >> 16
+            ws, wl = wm & 0xFFFF, (wm >> 16) & (LANES - 1)
             wl_b = jnp.broadcast_to(wl, (sigma, LANES))
             mask = iota_s <= ws
             qh = jnp.where(mask, jnp.take_along_axis(p_h, wl_b, axis=1), 0.0)

@@ -416,8 +416,11 @@ def _spmv_kernel(
     # -8% scatband (A/B 2026-08-18).
     #
     # R > 1 (SpMM): the masked route repeats the sigma-row window gather
-    # per rhs and widens the ones-matmul by G, which measured +12% on
-    # spmm8 (same A/B) — keep the batched prefix matmul + _taa_sub8 route.
+    # per rhs, which measured +12% on spmm8 in round 2 and +25% in round
+    # 3 even WITH the batched pass 2 + interleaved-y RMW downstream (A/B
+    # 2026-08-19) — keep the batched prefix matmul + _taa_sub8 route.
+    # Real SpMM amortization comes from the MXU band-block path
+    # (ops/bandmm.py), not from this gather kernel.
     masked_win = R == 1
     w_all = None
     wms_all = []
@@ -427,7 +430,9 @@ def _spmv_kernel(
             wms = []
             for g in range(G):
                 wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
-                wms.append((wm & 0xFFFF, wm >> 16))
+                # lane bits are 16-22; wrapped maps carry wrap-flag bits
+                # at 23/24 (convert.build_csr5), so mask the lane decode
+                wms.append((wm & 0xFFFF, (wm >> 16) & (LANES - 1)))
             wms_all.append(wms)
             for r in range(R):
                 prod_b = prod_ref[:, _sl(b, r)]
@@ -466,7 +471,7 @@ def _spmv_kernel(
             wms = []
             for g in range(G):
                 wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
-                wms.append((wm & 0xFFFF, wm >> 16))
+                wms.append((wm & 0xFFFF, (wm >> 16) & (LANES - 1)))
             wms_all.append(wms)
         lt_s = (  # LT_s[s,s'] = s' <= s (inclusive within-lane prefix)
             jax.lax.broadcasted_iota(jnp.int32, (sigma, sigma), 1)
@@ -489,6 +494,68 @@ def _spmv_kernel(
         )
 
     # ---- pass 2: window diff + sequential accumulation -------------------
+    if masked_win and win_rel and G == 1:
+        # batched pass 2 (the hot configuration: SpMV, wrapped windows,
+        # single-group tiles): every per-tile (1,128) op of the scalar
+        # loop below becomes ONE (B,128) op — cross-lane carry gather,
+        # wrap roll, first-row reset, group-0 high/low split — leaving
+        # only the order-dependent y accumulation per tile. The per-tile
+        # masks come from the conversion's wrap-flag bits (bit 23 =
+        # first-row slot, bit 24 = d >= rs%128); measured on TPU vs the
+        # scalar loop: banded500k 0.266 -> 0.235 ms (-12%).
+        wm_all = win_ref[:, :LANES]  # (B,128); G == 1 so capw == 128
+        if R > 1:
+            # one window-map row per (tile, rhs): repeat each tile's row
+            # R times so every downstream op batches over (B*R, 128)
+            wm_big = jnp.broadcast_to(
+                wm_all[:, None, :], (B, R, LANES)
+            ).reshape(B * R, LANES)
+        else:
+            wm_big = wm_all
+        wl_big = (wm_big >> 16) & (LANES - 1)
+        cl_all = jnp.take_along_axis(le_all, wl_big, axis=1)  # (B*R,128)
+        W_end_all = w_all.reshape(B * R, LANES) + cl_all
+        rolled = pltpu.roll(W_end_all, 1, axis=1)
+        W_prev = jnp.where((wm_big & (1 << 23)) != 0, 0.0, rolled)
+        W2 = W_end_all - W_prev
+        hi = jnp.where((wm_big & (1 << 24)) != 0, W2, 0.0)
+        lo = W2 - hi
+        for b in range(B):
+            by = meta_ref[b, 0] >> 7
+            V = jnp.concatenate(
+                [hi[b * R : (b + 1) * R], lo[b * R : (b + 1) * R]], axis=0
+            )
+            # R == 1: y rows are plain 128-row groups. R > 1: y rows are
+            # INTERLEAVED by rhs (row g*R + r, undone by the jit wrapper)
+            # so each tile updates every rhs in ONE contiguous (2R,128)
+            # read-modify-write
+            y_ref[pl.ds(by * R, 2 * R), :] += V
+    else:
+        _pass2_scalar(
+            B, G, R, sigma, capw, win_rel, masked_win, meta_ref, win_ref,
+            y_ref, pv_ref, le_all, w_all, wms_all, my_rows,
+        )
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _flush():
+        if xwin:
+            cp = pltpu.make_async_copy(
+                y_ref,
+                out_ref.at[pl.ds(off_ref[0, 1], y_ref.shape[0])],
+                out_sem,
+            )
+        else:
+            cp = pltpu.make_async_copy(y_ref, out_ref, out_sem)
+        cp.start()
+        cp.wait()
+
+
+def _pass2_scalar(
+    B, G, R, sigma, capw, win_rel, masked_win, meta_ref, win_ref, y_ref,
+    pv_ref, le_all, w_all, wms_all, my_rows,
+):
+    """The general window-diff + accumulation loop (SpMM, aligned maps,
+    multi-group tiles); the G==1 SpMV case takes the batched form above."""
     for b in range(B):
         rs = meta_ref[b, 0]
         a_off = rs & (LANES - 1)  # first valid slot / rotation amount
@@ -507,7 +574,7 @@ def _spmv_kernel(
                     off = ((b * R + r) * G + g) * LANES
                     wv = w_all[:, off : off + LANES]
                 else:
-                    pv = pv_ref[:, _sl(b, r)]
+                    pv = pv_ref[:, pl.ds((b * R + r) * LANES, LANES)]
                     R1 = jnp.take_along_axis(  # R1[s, j] = pv[s, wl[j]]
                         pv, jnp.broadcast_to(wl, (sigma, LANES)), axis=1
                     )
@@ -568,19 +635,6 @@ def _spmv_kernel(
 
             # sequential window accumulation (the calibrator analogue)
             y_ref[pl.ds(r * my_rows + by, G), :] += W2
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _flush():
-        if xwin:
-            cp = pltpu.make_async_copy(
-                y_ref,
-                out_ref.at[pl.ds(off_ref[0, 1], y_ref.shape[0])],
-                out_sem,
-            )
-        else:
-            cp = pltpu.make_async_copy(y_ref, out_ref, out_sem)
-        cp.start()
-        cp.wait()
 
 
 def _make_pallas_call(

@@ -49,7 +49,8 @@ def csr5_spmv_xla(a5: CSR5Matrix, x: jax.Array, alpha=1.0) -> jax.Array:
     P = jnp.cumsum(elem, axis=1)
 
     # routed window extraction: W_end[t, d] = P[t, win_end[t, d]]
-    win_end = (a5.win_map >> 16) * sig + (a5.win_map & 0xFFFF)  # (p, capw)
+    # (lane bits are 16-22; wrapped maps carry wrap-flag bits at 23/24)
+    win_end = ((a5.win_map >> 16) & 127) * sig + (a5.win_map & 0xFFFF)
     W_end = jnp.take_along_axis(P, win_end, axis=1)
 
     rs = a5.tile_ptr[:-1]

@@ -170,7 +170,8 @@ def test_window_maps_monotone():
         a_sp = make()
         a5 = build_csr5(csr_from_scipy(a_sp))
         wm = np.asarray(a5.win_map)
-        we = (wm >> 16) * a5.sigma + (wm & 0xFFFF)
+        # lane bits 16-22; wrapped maps add wrap-flag bits at 23/24
+        we = ((wm >> 16) & 127) * a5.sigma + (wm & 0xFFFF)
         if a5.win_rel:
             # wrapped maps (slot d = row base+d, wrapping below rs%128):
             # monotone in ROW order, i.e. after rotating each tile's slots
