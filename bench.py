@@ -47,6 +47,7 @@ CASES = [
     "scatband300k",
     "powerlaw200k",
     "spmm8_banded500k",
+    "spmm16_banded500k",  # MXU band-block path: cost ~flat in R
     "banded2M",
     "banded20M",  # row-sliced path: beyond the whole-matrix VMEM cap
 ]

@@ -200,48 +200,81 @@ def _run_csr5_case(name: str) -> dict:
 
 
 def _spmm_auto_extra(name, a, rhs, num_run, csr5_res) -> dict:
-    """Format-selector extra for SpMM cases: when the structural selector
-    picks DIA, time the round-2 streamed-x DIA SpMM side by side (the
-    diagonal value stream is paid once for all rhs — the amortization the
-    CSR5 gather kernel cannot reach; NOTES round 3)."""
+    """SpMM path-selector extra, in the TPU solver-loop layout (X^T in,
+    Y^T out, ``layout="rn"`` — the (n,R)<->(R,n) relayout costs ~0.75 ms
+    per call at n=500k/R=8 and solver loops never need it). Times the
+    CSR5 kernel and the MXU band-block path (ops/bandmm.py — the dense
+    stream is paid once for all rhs; the gather kernels' per-rhs VPU
+    work is why csr5/dia SpMM cost R x SpMV, NOTES round 3) and reports
+    the faster exact path as the framework's auto pick."""
     import jax.numpy as jnp
 
-    from ..ops.select import select_format
+    from ..config import CSR5Config
+    from ..ops.bandmm import bandmm_spmm, bandmm_supported, build_bandblock
+    from ..ops.convert import build_csr5
+    from ..ops.csr5_kernel import csr5_spmm_pallas, pallas_spmm_supported
     from .harness import time_spmv_device_loop
 
-    fmt = select_format(a.indptr, a.indices, a.shape)
-    extra = {"auto_format": fmt}
-    if fmt != "dia":
-        return extra
-    try:
-        from ..ops.dia import build_dia, dia_spmm, dia_spmm_supported
+    extra = {}
+    rng = np.random.default_rng(0)
+    xt = rng.integers(1, 10, (rhs, a.shape[1])).astype(np.float32)
+    xtd = jnp.asarray(xt)
+    y_ref_t = (a @ xt.T).T
+    candidates = {}  # label -> ms
 
-        d = build_dia((a.indptr, a.indices, a.data, a.shape))
-        if d is None or not dia_spmm_supported(d, rhs):
-            return extra
-        rng = np.random.default_rng(0)
-        xm = rng.integers(1, 10, (a.shape[1], rhs)).astype(np.float32)
-        xd = jnp.asarray(xm)
-        y_ref = a @ xm
-        y = np.asarray(dia_spmm(d, xd))
+    def _time(label, fn, operands):
+        y = np.asarray(fn(operands, xtd))
         rel = float(
-            (np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-30)).max()
+            (np.abs(y - y_ref_t) / np.maximum(np.abs(y_ref_t), 1e-30)).max()
         )
-        ms = time_spmv_device_loop(
-            lambda d_, x_: dia_spmm(d_, x_), xd, num_run, operands=d
-        )
-        extra.update(
-            {
-                "auto_spmm_ms": round(ms, 4),
-                "auto_check_ok": rel <= 0.01,
-                "auto_speedup_vs_csr5": round(csr5_res.spmv_ms / ms, 2),
-            }
-        )
+        if rel > 0.01:
+            extra[f"{label}_rel_err"] = float(f"{rel:.3e}")
+            return
+        ms = time_spmv_device_loop(fn, xtd, num_run, operands=operands)
+        candidates[label] = ms
+        extra[f"{label}_ms"] = round(ms, 4)
         print(
-            f"[{name}] auto-format dia spmm: {ms:.4f} ms "
-            f"({csr5_res.spmv_ms / ms:.1f}x vs csr5 kernel) rel={rel:.1e}",
+            f"[{name}] {label} (solver-loop layout): {ms:.4f} ms "
+            f"rel={rel:.1e}",
             file=sys.stderr,
         )
+
+    try:
+        a5 = build_csr5(
+            (a.indptr, a.indices, a.data, a.shape),
+            CSR5Config(sigma=csr5_res.sigma),
+        )
+        if pallas_spmm_supported(a5, rhs):
+            _time(
+                "csr5_rn",
+                lambda a_, x_: csr5_spmm_pallas(a_, x_, layout="rn"),
+                a5,
+            )
+        t0 = time.perf_counter()
+        bb = build_bandblock((a.indptr, a.indices, a.data, a.shape))
+        if bb is not None and bandmm_supported(bb, rhs):
+            extra["bandmm_build_ms"] = round(
+                (time.perf_counter() - t0) * 1e3, 1
+            )
+            extra["bandmm_K"] = bb.K
+            extra["bandmm_dense_mb"] = round(bb.dense_bytes / 1e6, 1)
+            _time(
+                "bandmm_rn",
+                lambda b_, x_: bandmm_spmm(b_, x_, layout="rn"),
+                bb,
+            )
+        if candidates:
+            best = min(candidates, key=candidates.get)
+            extra.update(
+                {
+                    "auto_format": best,
+                    "auto_spmm_ms": round(candidates[best], 4),
+                    "auto_check_ok": True,
+                    "auto_speedup_vs_csr5": round(
+                        csr5_res.spmv_ms / candidates[best], 2
+                    ),
+                }
+            )
     except Exception as e:  # noqa: BLE001 — extra must not sink the case
         extra["auto_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     return extra
@@ -348,6 +381,56 @@ def _auto_format_extra(name, rp, ci, v, shape, num_run, csr5_res) -> dict:
     except Exception as e:  # noqa: BLE001 — auto extra must not sink the case
         extra["auto_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     return extra
+
+
+def _run_spmm16_case() -> dict:
+    """R=16 SpMM on the MXU band-block path (ops/bandmm.py): the dense
+    band stream is paid once for all 16 right-hand sides, so the cost is
+    ~flat in R where the CSR5 gather kernel scales linearly (and its
+    VMEM residency gate rejects R=16 outright — 16 x/y copies + the
+    (sigma, R*B*128) scan scratch exceed the budget)."""
+    import jax.numpy as jnp
+
+    from ..ops.bandmm import bandmm_spmm, bandmm_supported, build_bandblock
+    from ..utils import synth
+    from .harness import time_spmv_device_loop
+
+    m, R, num_run = 500_000, 16, 50
+    a = synth.banded(m, 27, dtype=np.float32)
+    t0 = time.perf_counter()
+    bb = build_bandblock((a.indptr, a.indices, a.data, a.shape))
+    build_ms = (time.perf_counter() - t0) * 1e3
+    assert bb is not None and bandmm_supported(bb, R)
+    rng = np.random.default_rng(0)
+    xt = rng.integers(1, 10, (R, m)).astype(np.float32)
+    xtd = jnp.asarray(xt)
+    y_ref_t = (a @ xt.T).T
+    y = np.asarray(bandmm_spmm(bb, xtd, layout="rn"))
+    rel = float(
+        (np.abs(y - y_ref_t) / np.maximum(np.abs(y_ref_t), 1e-30)).max()
+    )
+    ms = time_spmv_device_loop(
+        lambda b_, x_: bandmm_spmm(b_, x_, layout="rn"),
+        xtd, num_run, operands=bb,
+    )
+    out = {
+        "name": "spmm16_banded500k",
+        "spmv_ms": round(ms, 4),
+        "gflops": round(2 * a.nnz * R / (ms * 1e-3) / 1e9, 2),
+        "ms_per_rhs": round(ms / R, 4),
+        "check_ok": rel <= 0.01,
+        "max_rel_err": float(f"{rel:.3e}"),
+        "backend": "bandmm",
+        "bandmm_K": bb.K,
+        "bandmm_dense_mb": round(bb.dense_bytes / 1e6, 1),
+        "convert_ms": round(build_ms, 1),
+    }
+    print(
+        f"[spmm16_banded500k] bandmm (MXU): {ms:.4f} ms for 16 rhs = "
+        f"{ms / R:.4f} ms/rhs, {out['gflops']} GFLOPS, rel={rel:.1e}",
+        file=sys.stderr,
+    )
+    return out
 
 
 def _run_dia_case() -> dict:
@@ -480,6 +563,8 @@ def _parent_watchdog() -> None:
 def run_one(name: str) -> dict:
     if name == "dia_tridiag500k":
         return _run_dia_case()
+    if name == "spmm16_banded500k":
+        return _run_spmm16_case()
     if name == "hybmix400k":
         return _run_hyb_case()
     if name.startswith("mtx_"):

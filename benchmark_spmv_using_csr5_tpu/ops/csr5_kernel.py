@@ -767,16 +767,22 @@ def pallas_spmm_supported(a5: CSR5Matrix, num_rhs: int) -> bool:
     return 1 <= num_rhs <= 16 and vmem <= _VMEM_BUDGET
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _csr5_spmm_pallas_jit(a5: CSR5Matrix, xm, alpha, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "rn"))
+def _csr5_spmm_pallas_jit(a5: CSR5Matrix, xm, alpha, interpret: bool, rn: bool):
     cfg = a5.config
     p, sigma = a5.num_tiles, cfg.sigma
     n_pad, m_pad = a5.n_pad, a5.m_pad
-    R = xm.shape[1]
+    R = xm.shape[0] if rn else xm.shape[1]
 
     meta = build_meta_plane(a5)
-    # (n, R) -> R stacked (n_pad/128 + 1, 128) planes, alpha folded in
-    xt = xm.T.astype(jnp.float32) * jnp.asarray(alpha, jnp.float32)
+    # x -> R stacked (n_pad/128 + 1, 128) planes, alpha folded in. The
+    # (n,R) <-> (R,n) relayout costs ~0.75 ms at n=500k/R=8 on this chip
+    # (the (n,8) device layout is lane-padded), so the transposed
+    # "solver-loop" layout (rn=True: X^T in, Y^T out) skips both
+    # transposes — measured 2.20 -> 1.40 ms on spmm8 (NOTES round 3)
+    xt = (xm if rn else xm.T).astype(jnp.float32) * jnp.asarray(
+        alpha, jnp.float32
+    )
     x_pad = jnp.pad(xt, ((0, 0), (0, n_pad + LANES - a5.n)))
     x2d = x_pad.reshape(R * (n_pad // LANES + 1), LANES)
     packed = a5.col_packed is not None
@@ -796,17 +802,26 @@ def _csr5_spmm_pallas_jit(a5: CSR5Matrix, xm, alpha, interpret: bool):
     )
     y2d = call(meta, col2d, val2d, a5.win_map, x2d)
     ym = y2d.reshape(R, m_pad)[:, : a5.m]
-    return ym.T.astype(xm.dtype)
+    return ym.astype(xm.dtype) if rn else ym.T.astype(xm.dtype)
 
 
 def csr5_spmm_pallas(
-    a5: CSR5Matrix, x: jax.Array, alpha=1.0, interpret: bool = False
+    a5: CSR5Matrix,
+    x: jax.Array,
+    alpha=1.0,
+    interpret: bool = False,
+    layout: str = "nr",
 ) -> jax.Array:
-    """Y = alpha * A @ X for X (n, R) via the multi-rhs Pallas kernel.
+    """Y = alpha * A @ X via the multi-rhs Pallas kernel.
+
+    ``layout="nr"`` (default): X is (n, R), Y is (m, R) — the reference-
+    style API. ``layout="rn"``: X is (R, n), Y is (R, m) — the TPU
+    solver-loop layout that skips two ~0.4 ms lane-relayout transposes
+    per call (keep X^T/Y^T transposed throughout an iteration loop).
 
     The per-tile column decode, page loads and window maps are shared
     across the R right-hand sides, so arithmetic intensity scales with R
     while the dominant val/col stream is paid once (the SpMM extension of
     BASELINE.json configs[3]; the reference has no SpMM).
     """
-    return _csr5_spmm_pallas_jit(a5, x, alpha, interpret)
+    return _csr5_spmm_pallas_jit(a5, x, alpha, interpret, layout == "rn")

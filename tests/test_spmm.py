@@ -36,6 +36,20 @@ def test_spmm_pallas_matches_scipy(R):
     np.testing.assert_allclose(Y, Y_ref, atol=2e-5 * max(1.0, np.abs(Y_ref).max()))
 
 
+def test_spmm_rn_layout_matches_nr():
+    # the solver-loop layout (X^T in, Y^T out) must be value-identical
+    a_sp = synth.banded(320, 9).astype(np.float32)
+    a5 = build_csr5(csr_from_scipy(a_sp), CSR5Config(sigma=8, tiles_per_block=4))
+    X = _x_mat(a_sp.shape[1], 4)
+    Y_nr = np.asarray(csr5_spmm_pallas(a5, X, interpret=True))
+    Y_rn = np.asarray(
+        csr5_spmm_pallas(
+            a5, np.ascontiguousarray(X.T), interpret=True, layout="rn"
+        )
+    )
+    np.testing.assert_array_equal(Y_rn, Y_nr.T)
+
+
 def test_spmm_xla_matches_scipy():
     a_sp = synth.power_law(400, 350, 6.0, seed=8).astype(np.float32)
     a5 = build_csr5(csr_from_scipy(a_sp), CSR5Config(sigma=8, tiles_per_block=8))
