@@ -596,6 +596,12 @@ def main() -> int:
             out = {"name": name, "error": f"{type(e).__name__}: {str(e)[:300]}"}
             ok = False
         print(json.dumps(out), flush=True)
+        # drop the finished case's device buffers before the next case
+        # starts converting (holding several cases' planes alive degraded
+        # later conversions' uploads in BENCH_r02-era runs)
+        import gc
+
+        gc.collect()
     progress.set_sink(None)
     return 0 if ok else 1
 

@@ -301,3 +301,24 @@ def test_autotuned_retunes_scattered_only():
     band = sp.csr_matrix(synth.banded(2000, 27, dtype=np.float32))
     b5 = build_csr5_autotuned((band.indptr, band.indices, band.data, band.shape))
     assert b5.pages_contig and b5.config.sigma == 24
+
+
+def test_sigma4_short_row_parity():
+    """The reference's small-sigma configurations (sigma=4 for
+    nnz/row <= 4, anonymouslib_cuda.h:295-318; AVX-512/Phi sigma=12):
+    conversion, round-trip and the XLA executor accept ANY sigma >= 1.
+    The Pallas kernel requires sigma % 8 == 0 (sublane granularity) —
+    the measured justification that sigma=8 dominates for short-row
+    matrices on TPU lives in NOTES.md round 3."""
+    import scipy.sparse as sp
+
+    from benchmark_spmv_using_csr5_tpu.ops.csr5_spmv import csr5_spmv_xla
+
+    a = sp.csr_matrix(synth.banded(2000, 3, dtype=np.float32))
+    x = np.random.default_rng(0).integers(1, 10, 2000).astype(np.float32)
+    for sig in (2, 4, 12):
+        a5 = build_csr5(csr_from_scipy(a), CSR5Config(sigma=sig))
+        y = np.asarray(csr5_spmv_xla(a5, x))
+        np.testing.assert_array_equal(y, a @ x)
+        back = csr5_to_csr(a5)
+        np.testing.assert_array_equal(np.asarray(back.col_idx), a.indices)
