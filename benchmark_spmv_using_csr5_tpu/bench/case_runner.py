@@ -413,10 +413,14 @@ def _run_spmm16_case() -> dict:
         lambda b_, x_: bandmm_spmm(b_, x_, layout="rn"),
         xtd, num_run, operands=bb,
     )
+    from ..utils.perf import get_bytes
+
+    gb = get_bytes(a.shape[0], a.nnz, 4, 4) / 1e9
     out = {
         "name": "spmm16_banded500k",
         "spmv_ms": round(ms, 4),
         "gflops": round(2 * a.nnz * R / (ms * 1e-3) / 1e9, 2),
+        "pct_roofline": round(gb / (ms * 1e-3) / 8.19, 2),
         "ms_per_rhs": round(ms / R, 4),
         "check_ok": rel <= 0.01,
         "max_rel_err": float(f"{rel:.3e}"),

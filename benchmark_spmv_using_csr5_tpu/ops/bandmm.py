@@ -138,24 +138,30 @@ def build_bandblock(
     if dense_bytes > max_bytes_ratio * nnz * 8:
         return None
 
-    dense = arena_take((m_pad, K), np.float32, "bb:dense")
-    rows = arena_take(nnz, np.int64, "bb:rows", zero=False)
-    _expand_rows(row_ptr, m, rows)
-    # flat scatter: idx = row*K + (col - c0[row>>7]); CSR (row, col) pairs
-    # are unique so plain fancy assignment is a race-free scatter
-    idx = arena_take(nnz, np.int64, "bb:idx", zero=False)
-    c0e = arena_take(nnz, np.int64, "bb:c0e", zero=False)
-    np.right_shift(rows, 7, out=idx)  # owning block of each nonzero
-    np.take(c0, idx, out=c0e)  # its window start
-    np.subtract(col_idx, c0e, out=idx)  # window-local column
-    np.multiply(rows, K, out=rows)  # rows not needed past this point
-    np.add(idx, rows, out=idx)
-    dense.reshape(-1)[idx] = values
     # store window starts as PAGE indices: the kernel multiplies by 128,
     # which is how Mosaic PROVES the lane-dim slice offset is 128-aligned
     # (a raw SMEM column value crashes the compiler — measured)
     c0_meta = np.zeros((1, nblk), np.int32)
     c0_meta[0, :] = c0 >> 7
+    from ..utils import nativelib
+
+    dense = nativelib.bandblock_fill(
+        row_ptr, col_idx, values, c0_meta[0], m, m_pad, K, arena="bb:dense"
+    )
+    if dense is None:
+        # numpy fallback: flat scatter idx = row*K + (col - c0[row>>7]);
+        # CSR (row, col) pairs are unique so fancy assignment is race-free
+        dense = arena_take((m_pad, K), np.float32, "bb:dense")
+        rows = arena_take(nnz, np.int64, "bb:rows", zero=False)
+        _expand_rows(row_ptr, m, rows)
+        idx = arena_take(nnz, np.int64, "bb:idx", zero=False)
+        c0e = arena_take(nnz, np.int64, "bb:c0e", zero=False)
+        np.right_shift(rows, 7, out=idx)  # owning block of each nonzero
+        np.take(c0, idx, out=c0e)  # its window start
+        np.subtract(col_idx, c0e, out=idx)  # window-local column
+        np.multiply(rows, K, out=rows)  # rows not needed past this point
+        np.add(idx, rows, out=idx)
+        dense.reshape(-1)[idx] = values
     return BandBlockMatrix(
         dense=jnp.array(dense),
         c0=jnp.array(c0_meta),

@@ -66,10 +66,11 @@ Static limits of this kernel (checked by :func:`pallas_supported` /
 f32/bf16 values, sigma a multiple of 8, pmax <= MAX_FORI_PAGES, x and y
 (x R) resident in VMEM.
 
-Driver-measured on one TPU v5e chip (f32, BENCH_r02): banded 500k x 14M
-nnz = 0.2751 ms = 76.3% of the 819 GB/s HBM roofline, exact vs scipy
-(builder probes have reached 0.26 ms / 80% on quiet tunnels; the driver
-number is authoritative). See NOTES.md for the ablation history.
+Measured on one TPU v5e chip (f32, round-3 full-bench shakedown):
+banded 500k x 14M nnz = 0.2562 ms = 82.0% of the 819 GB/s HBM roofline,
+exact vs scipy (run-to-run spread ~±10%: BENCH_r02's driver run
+measured the pre-round-3 kernel at 0.2751/76.3%). See NOTES.md for the
+ablation history.
 """
 
 from __future__ import annotations

@@ -564,3 +564,32 @@ int32_t mm_write_csr(const char* path, int64_t m, int64_t n, int64_t nnz,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Dense band-block fill (ops/bandmm.py): zero the (m_pad, K) plane and
+// scatter each nonzero into its 128-row block's column window. Plain
+// row-major stores — the numpy route (repeat + fancy scatter) walks three
+// nnz-scale int64 temps and cost ~10-25 s per build on the 1-vCPU host.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void bandblock_fill(int64_t m, int64_t m_pad, int64_t K,
+                    const int64_t* row_ptr, const int32_t* col_idx,
+                    const double* val_f64, const float* val_f32,
+                    const int32_t* c0_pages, float* dense) {
+  std::memset(dense, 0, static_cast<size_t>(m_pad) * K * sizeof(float));
+  for (int64_t r = 0; r < m; ++r) {
+    const int64_t c0 = static_cast<int64_t>(c0_pages[r >> 7]) * 128;
+    float* drow = dense + r * K;
+    if (val_f32) {
+      for (int64_t k = row_ptr[r]; k < row_ptr[r + 1]; ++k)
+        drow[col_idx[k] - c0] = val_f32[k];
+    } else {
+      for (int64_t k = row_ptr[r]; k < row_ptr[r + 1]; ++k)
+        drow[col_idx[k] - c0] = static_cast<float>(val_f64[k]);
+    }
+  }
+}
+
+}  // extern "C"
