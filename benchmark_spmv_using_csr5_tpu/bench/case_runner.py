@@ -576,6 +576,27 @@ def run_one(name: str) -> dict:
     return _run_csr5_case(name)
 
 
+def _prewarm_arena(names) -> None:
+    """Grow the conversion arena to the suite's largest case up front
+    (the reference's ``warmup()`` analogue, anonymouslib_cuda.h:208):
+    first-touch of fresh mappings runs at ~400 MB/s on this host, and
+    paying it inside a case inflates that case's reported convert_ms
+    (banded2M measured 17.6 s cold-arena vs ~6 s warm). Warm pages also
+    upload measurably faster through the tunnel (NOTES round 3)."""
+    if "banded20M" in names:
+        nnz_pad = 260_000_000  # largest row-slice of the 20M case
+    elif "banded2M" in names:
+        nnz_pad = 60_000_000
+    else:
+        return
+    from ..utils import progress
+    from ..utils.hostmem import arena_take
+
+    for tag in ("cv:col_flat", "cv:val_flat", "cv:coltr", "cv:valtr"):
+        arena_take(nnz_pad * 4, np.uint8, tag, zero=False)
+        progress.emit(f"prewarm:{tag}")
+
+
 def main() -> int:
     _parent_watchdog()
     from ..utils import nativelib, progress
@@ -584,6 +605,12 @@ def main() -> int:
     # rebuild once showed up as 3.6 s inside a conversion phase)
     nativelib.available()
     names = sys.argv[1:]
+    progress.set_sink(
+        lambda ph: print(
+            json.dumps({"hb": "_startup", "phase": ph}), flush=True
+        )
+    )
+    _prewarm_arena(names)
     ok = True
     for name in names:
         # heartbeat sink: one flushed JSON line per long-phase milestone,
