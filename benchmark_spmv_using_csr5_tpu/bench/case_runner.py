@@ -163,7 +163,7 @@ def _run_csr5_case(name: str) -> dict:
     )
     print(res.report(), file=sys.stderr)
     if rhs > 1:
-        extra.update(_spmm_auto_extra(name, a, rhs, num_run, res))
+        extra.update(_spmm_auto_extra(name, a, rhs, num_run, res, res.matrix))
     out = {
         "name": name,
         "gflops": round(res.gflops, 2),
@@ -199,7 +199,19 @@ def _run_csr5_case(name: str) -> dict:
     return out
 
 
-def _spmm_auto_extra(name, a, rhs, num_run, csr5_res) -> dict:
+def _check_time_rn(fn, operands, xtd, y_ref_t, num_run):
+    """(ms, rel) for one solver-loop-layout SpMM candidate; the rel-err
+    reduction runs on device (never np.asarray a multi-MB device result
+    through the ~6 MB/s tunnel)."""
+    from .harness import rel_err_device, time_spmv_device_loop
+
+    rel = rel_err_device(fn(operands, xtd), y_ref_t)
+    if rel > 0.01:
+        return None, rel
+    return time_spmv_device_loop(fn, xtd, num_run, operands=operands), rel
+
+
+def _spmm_auto_extra(name, a, rhs, num_run, csr5_res, a5) -> dict:
     """SpMM path-selector extra, in the TPU solver-loop layout (X^T in,
     Y^T out, ``layout="rn"`` — the (n,R)<->(R,n) relayout costs ~0.75 ms
     per call at n=500k/R=8 and solver loops never need it). Times the
@@ -209,11 +221,9 @@ def _spmm_auto_extra(name, a, rhs, num_run, csr5_res) -> dict:
     the faster exact path as the framework's auto pick."""
     import jax.numpy as jnp
 
-    from ..config import CSR5Config
+    from ..models.formats import CSR5Matrix
     from ..ops.bandmm import bandmm_spmm, bandmm_supported, build_bandblock
-    from ..ops.convert import build_csr5
     from ..ops.csr5_kernel import csr5_spmm_pallas, pallas_spmm_supported
-    from .harness import time_spmv_device_loop
 
     extra = {}
     rng = np.random.default_rng(0)
@@ -223,14 +233,10 @@ def _spmm_auto_extra(name, a, rhs, num_run, csr5_res) -> dict:
     candidates = {}  # label -> ms
 
     def _time(label, fn, operands):
-        y = np.asarray(fn(operands, xtd))
-        rel = float(
-            (np.abs(y - y_ref_t) / np.maximum(np.abs(y_ref_t), 1e-30)).max()
-        )
-        if rel > 0.01:
+        ms, rel = _check_time_rn(fn, operands, xtd, y_ref_t, num_run)
+        if ms is None:
             extra[f"{label}_rel_err"] = float(f"{rel:.3e}")
             return
-        ms = time_spmv_device_loop(fn, xtd, num_run, operands=operands)
         candidates[label] = ms
         extra[f"{label}_ms"] = round(ms, 4)
         print(
@@ -240,11 +246,7 @@ def _spmm_auto_extra(name, a, rhs, num_run, csr5_res) -> dict:
         )
 
     try:
-        a5 = build_csr5(
-            (a.indptr, a.indices, a.data, a.shape),
-            CSR5Config(sigma=csr5_res.sigma),
-        )
-        if pallas_spmm_supported(a5, rhs):
+        if isinstance(a5, CSR5Matrix) and pallas_spmm_supported(a5, rhs):
             _time(
                 "csr5_rn",
                 lambda a_, x_: csr5_spmm_pallas(a_, x_, layout="rn"),
@@ -393,7 +395,6 @@ def _run_spmm16_case() -> dict:
 
     from ..ops.bandmm import bandmm_spmm, bandmm_supported, build_bandblock
     from ..utils import synth
-    from .harness import time_spmv_device_loop
 
     m, R, num_run = 500_000, 16, 50
     a = synth.banded(m, 27, dtype=np.float32)
@@ -405,14 +406,11 @@ def _run_spmm16_case() -> dict:
     xt = rng.integers(1, 10, (R, m)).astype(np.float32)
     xtd = jnp.asarray(xt)
     y_ref_t = (a @ xt.T).T
-    y = np.asarray(bandmm_spmm(bb, xtd, layout="rn"))
-    rel = float(
-        (np.abs(y - y_ref_t) / np.maximum(np.abs(y_ref_t), 1e-30)).max()
-    )
-    ms = time_spmv_device_loop(
+    ms, rel = _check_time_rn(
         lambda b_, x_: bandmm_spmm(b_, x_, layout="rn"),
-        xtd, num_run, operands=bb,
+        bb, xtd, y_ref_t, num_run,
     )
+    assert ms is not None, f"bandmm rel err {rel}"
     from ..utils.perf import get_bytes
 
     gb = get_bytes(a.shape[0], a.nnz, 4, 4) / 1e9

@@ -54,6 +54,9 @@ class BenchResult:
     pct_of_roofline: float
     check_ok: bool
     max_rel_err: float
+    #: the converted matrix (CSR5Matrix / SlicedCSR5 / DF64 plan), so
+    #: callers timing extra variants need not convert again
+    matrix: object = None
 
     def report(self) -> str:
         """The reference's output lines (main.cu:104-106, :361-384)."""
@@ -72,6 +75,20 @@ class BenchResult:
 def _force(x) -> float:
     """Host-sync on a tiny slice (block_until_ready is unreliable here)."""
     return float(np.asarray(jax.device_get(x))[0])
+
+
+@jax.jit
+def _rel_max(y, y_ref, floor):
+    diff = jnp.abs(y - y_ref.astype(y.dtype))
+    rel = diff / jnp.maximum(jnp.abs(y_ref), 1e-30)
+    return jnp.max(jnp.where(diff < floor, 0.0, rel))
+
+
+def rel_err_device(y_dev, y_ref_host) -> float:
+    """max relative error of a device result vs a host oracle, reduced
+    on device (only the scalar crosses the slow readback tunnel)."""
+    floor = 1e-6 * max(1.0, float(np.abs(y_ref_host).max()))
+    return float(_rel_max(y_dev, jnp.asarray(y_ref_host), floor))
 
 
 def time_spmv_device_loop(spmv_fn, x, num_run: int, operands=None) -> float:
@@ -266,20 +283,22 @@ def run_benchmark(
         else:
             spmv_fn = lambda a, xx: csr5_spmv_xla(a, xx)  # noqa: E731
 
-    # correctness at the reference tolerance (main.cu:361-384)
-    progress.emit("check")  # includes a slow ~6 MB/s y readback at big m
+    # correctness at the reference tolerance (main.cu:361-384); the
+    # reduction runs ON DEVICE (y at banded20M is 80 MB = ~13 s through
+    # the ~6 MB/s readback tunnel; uploading y_ref instead is ~1 GB/s)
+    progress.emit("check")
     if df64 is not None:
         from ..ops.csr5_df64 import df64_combine, df64_spmv
 
         operands = (a5, xl_dev)
         y = df64_combine(*jax.device_get(df64_spmv(a5, (xd, xl_dev))))
+        denom = np.maximum(np.abs(y_ref), 1e-30)
+        rel = np.abs(y - y_ref) / denom
+        rel[np.abs(y - y_ref) < 1e-6 * max(1.0, np.abs(y_ref).max())] = 0.0
+        max_rel = float(rel.max()) if rel.size else 0.0
     else:
         operands = a5
-        y = np.asarray(jax.device_get(spmv_fn(a5, xd)))
-    denom = np.maximum(np.abs(y_ref), 1e-30)
-    rel = np.abs(y - y_ref) / denom
-    rel[np.abs(y - y_ref) < 1e-6 * max(1.0, np.abs(y_ref).max())] = 0.0
-    max_rel = float(rel.max()) if rel.size else 0.0
+        max_rel = rel_err_device(spmv_fn(a5, xd), y_ref)
     check_ok = bool(max_rel <= 0.01)
 
     progress.emit("timing")  # jit compile + min-of-samples device loops
@@ -311,4 +330,5 @@ def run_benchmark(
         pct_of_roofline=met.pct_of_roofline,
         check_ok=check_ok,
         max_rel_err=max_rel,
+        matrix=a5,
     )

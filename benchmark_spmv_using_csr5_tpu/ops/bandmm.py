@@ -99,12 +99,21 @@ def build_bandblock(
     csr,
     max_k: int = MAX_K,
     max_bytes_ratio: float = MAX_BYTES_RATIO,
+    value_dtype=None,
 ) -> Optional[BandBlockMatrix]:
     """CSR -> dense band-block form, or None when the matrix's 128-row
     blocks do not have bounded column windows (the gate: uniform window
     width K <= max_k AND dense bytes <= max_bytes_ratio x the 8 B/nnz
     CSR5 stream). ``csr`` is (row_ptr, col_idx, values, shape), a scipy
-    CSR matrix, or a CSRMatrix (host arrays preferred; see convert)."""
+    CSR matrix, or a CSRMatrix (host arrays preferred; see convert).
+
+    ``value_dtype`` defaults to **bfloat16**: the SpMM's DEFAULT matmul
+    precision rounds both operands to bf16 anyway, so bf16 storage gives
+    bit-identical results while halving the dense HBM stream and the
+    host->device upload (measured 1.55 -> 1.30 ms on spmm8, and the
+    768 MB upload once took 75 s on a degraded tunnel). Pass
+    ``np.float32`` to enable ``precision="highest"`` (exact f32
+    products)."""
     from ..utils import progress
     from .convert import _as_host_csr
 
@@ -162,6 +171,15 @@ def build_bandblock(
         np.multiply(rows, K, out=rows)  # rows not needed past this point
         np.add(idx, rows, out=idx)
         dense.reshape(-1)[idx] = values
+    if value_dtype is None:
+        import ml_dtypes
+
+        value_dtype = ml_dtypes.bfloat16
+    vdt = np.dtype(value_dtype)
+    if vdt != np.float32:
+        d16 = arena_take((m_pad, K), vdt, "bb:dense16", zero=False)
+        np.copyto(d16, dense, casting="unsafe")
+        dense = d16
     return BandBlockMatrix(
         dense=jnp.array(dense),
         c0=jnp.array(c0_meta),
@@ -184,7 +202,8 @@ def bandmm_supported(bb: Optional[BandBlockMatrix], num_rhs: int) -> bool:
     if bb is None or num_rhs < 1:
         return False
     rp = -(-max(num_rhs, 1) // 8) * 8
-    vmem = rp * bb.nx_pad * 4 + 2 * LANES * bb.K * 4 + 2 * rp * LANES * 4
+    esz = bb.dense.dtype.itemsize
+    vmem = rp * bb.nx_pad * 4 + 2 * LANES * bb.K * esz + 2 * rp * LANES * 4
     return vmem <= _VMEM_BUDGET
 
 
@@ -198,9 +217,15 @@ def _bandmm_kernel(c0_ref, a_ref, xt_ref, out_ref, *, K, Rp, prec):
     c0 = c0_ref[0, pl.program_id(0)] * LANES  # page -> column (alignment
     # is provable to Mosaic only through this multiply)
     xw = xt_ref[:, pl.ds(c0, K)]  # (Rp, K); 128-aligned lane-dim slice
+    a_op = a_ref[:]
+    if a_op.dtype != jnp.float32:
+        # bf16 dense plane: cast the x window to match and let the MXU
+        # run its native bf16 pass — bit-identical to DEFAULT-precision
+        # f32 (which rounds both operands to bf16), half the stream
+        xw = xw.astype(a_op.dtype)
     out_ref[:] = jax.lax.dot_general(
         xw,
-        a_ref[:],
+        a_op,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec,
@@ -219,10 +244,14 @@ def _bandmm_jit(bb: BandBlockMatrix, xm, alpha, precision: str, interpret, rn):
         else jax.lax.Precision.DEFAULT
     )
     # x^T (Rp, nx_pad): rhs-major lanes = columns (windows slice lanes).
-    # rn=True takes X^T directly and skips the ~0.75 ms lane relayout
+    # rn=True takes X^T directly and skips the ~0.75 ms lane relayout.
+    # nx_pad can be SMALLER than n (nonzero columns confined below the
+    # right edge): columns >= nx_pad are referenced by no window, so
+    # truncate before padding (a negative pad width is an error)
     xt = (xm if rn else xm.T).astype(jnp.float32) * jnp.asarray(
         alpha, jnp.float32
     )
+    xt = xt[:, : bb.nx_pad]
     xt = jnp.pad(xt, ((0, Rp - R), (0, bb.nx_pad - xt.shape[1])))
     call = pl.pallas_call(
         partial(_bandmm_kernel, K=bb.K, Rp=Rp, prec=prec),
@@ -241,7 +270,8 @@ def _bandmm_jit(bb: BandBlockMatrix, xm, alpha, precision: str, interpret, rn):
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nblk * LANES * bb.K * Rp,
-            bytes_accessed=m_pad * bb.K * 4 + Rp * (bb.nx_pad + m_pad) * 4,
+            bytes_accessed=m_pad * bb.K * bb.dense.dtype.itemsize
+            + Rp * (bb.nx_pad + m_pad) * 4,
             transcendentals=0,
         ),
     )
@@ -265,8 +295,14 @@ def bandmm_spmm(
     csr5_spmm_pallas). ``precision="default"`` is exact for
     integer-class values and <= ~2^-8 relative otherwise (inside the
     reference 1%% gate); ``"highest"`` gives exact f32 products (+21%%
-    runtime measured).
+    runtime measured) and needs an f32-built matrix
+    (``build_bandblock(value_dtype=np.float32)``).
     """
+    if precision == "highest" and bb.dense.dtype != jnp.float32:
+        raise ValueError(
+            "precision='highest' needs an f32 dense plane: "
+            "build_bandblock(..., value_dtype=np.float32)"
+        )
     return _bandmm_jit(bb, x_mat, alpha, precision, interpret, layout == "rn")
 
 

@@ -504,33 +504,22 @@ def _spmv_kernel(
         # masks come from the conversion's wrap-flag bits (bit 23 =
         # first-row slot, bit 24 = d >= rs%128); measured on TPU vs the
         # scalar loop: banded500k 0.266 -> 0.235 ms (-12%).
+        # R == 1 only: masked_win == (R == 1), and the SpMM wrapper has
+        # no de-interleave — a multi-rhs batched pass-2 was measured +25%
+        # anyway (NOTES round 3)
         wm_all = win_ref[:, :LANES]  # (B,128); G == 1 so capw == 128
-        if R > 1:
-            # one window-map row per (tile, rhs): repeat each tile's row
-            # R times so every downstream op batches over (B*R, 128)
-            wm_big = jnp.broadcast_to(
-                wm_all[:, None, :], (B, R, LANES)
-            ).reshape(B * R, LANES)
-        else:
-            wm_big = wm_all
-        wl_big = (wm_big >> 16) & (LANES - 1)
-        cl_all = jnp.take_along_axis(le_all, wl_big, axis=1)  # (B*R,128)
-        W_end_all = w_all.reshape(B * R, LANES) + cl_all
+        wl_all = (wm_all >> 16) & (LANES - 1)
+        cl_all = jnp.take_along_axis(le_all, wl_all, axis=1)  # (B,128)
+        W_end_all = w_all.reshape(B, LANES) + cl_all
         rolled = pltpu.roll(W_end_all, 1, axis=1)
-        W_prev = jnp.where((wm_big & (1 << 23)) != 0, 0.0, rolled)
+        W_prev = jnp.where((wm_all & (1 << 23)) != 0, 0.0, rolled)
         W2 = W_end_all - W_prev
-        hi = jnp.where((wm_big & (1 << 24)) != 0, W2, 0.0)
+        hi = jnp.where((wm_all & (1 << 24)) != 0, W2, 0.0)
         lo = W2 - hi
         for b in range(B):
             by = meta_ref[b, 0] >> 7
-            V = jnp.concatenate(
-                [hi[b * R : (b + 1) * R], lo[b * R : (b + 1) * R]], axis=0
-            )
-            # R == 1: y rows are plain 128-row groups. R > 1: y rows are
-            # INTERLEAVED by rhs (row g*R + r, undone by the jit wrapper)
-            # so each tile updates every rhs in ONE contiguous (2R,128)
-            # read-modify-write
-            y_ref[pl.ds(by * R, 2 * R), :] += V
+            V = jnp.concatenate([hi[b : b + 1], lo[b : b + 1]], axis=0)
+            y_ref[pl.ds(by, 2), :] += V
     else:
         _pass2_scalar(
             B, G, R, sigma, capw, win_rel, masked_win, meta_ref, win_ref,

@@ -27,7 +27,10 @@ from ..models.formats import CSR5Matrix
 from ..ops.dia import DIAMatrix
 
 #: bump when the CSR5Matrix field layout changes
-FORMAT_VERSION = 1
+#: v2 (round 3): wrapped win_map carries mandatory wrap-flag bits 23/24
+#: (convert.build_csr5) that the batched kernel pass-2 requires — v1
+#: checkpoints would load cleanly and compute silently wrong results
+FORMAT_VERSION = 2
 
 
 def _pack_fields(obj) -> tuple:

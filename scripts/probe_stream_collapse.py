@@ -114,7 +114,7 @@ def make(level):
                 for g in range(G):
                     wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
                     ws = wm & 0xFFFF
-                    wl = wm >> 16
+                    wl = (wm >> 16) & 127  # wrap-flag bits live at 23/24
                     R1 = jnp.take_along_axis(
                         pv, jnp.broadcast_to(wl, (SIGMA, LANES)), axis=1
                     )

@@ -159,7 +159,7 @@ def make_variant(a5, *, gather=True, scan="mxu", window=True, B=None):
                 for g in range(G):
                     wm = win_ref[pl.ds(b, 1), pl.ds(g * LANES, LANES)]
                     ws = wm & 0xFFFF
-                    wl = wm >> 16
+                    wl = (wm >> 16) & (K.LANES - 1)
                     R1 = jnp.take_along_axis(
                         pv, jnp.broadcast_to(wl, (sigma, LANES)), axis=1
                     )

@@ -15,9 +15,11 @@ from benchmark_spmv_using_csr5_tpu.utils import synth
 
 def _check_spmm(a, rhs, alpha=1.0, precision="highest", seed=0):
     # generous waste gate: these tests check correctness on small
-    # matrices whose K/nnz ratio would fail the profitability gate
+    # matrices whose K/nnz ratio would fail the profitability gate.
+    # precision="highest" requires the f32-stored plane (bf16 default)
     bb = build_bandblock(
-        (a.indptr, a.indices, a.data, a.shape), max_bytes_ratio=100.0
+        (a.indptr, a.indices, a.data, a.shape), max_bytes_ratio=100.0,
+        value_dtype=np.float32 if precision == "highest" else None,
     )
     assert bb is not None and bandmm_supported(bb, rhs)
     rng = np.random.default_rng(seed)
@@ -53,7 +55,8 @@ def test_empty_rows_and_spmv():
     a[100:300] = 0  # empty rows inside one block
     a = a.tocsr()
     bb = build_bandblock(
-        (a.indptr, a.indices, a.data, a.shape), max_bytes_ratio=100.0
+        (a.indptr, a.indices, a.data, a.shape), max_bytes_ratio=100.0,
+        value_dtype=np.float32,
     )
     assert bb is not None
     x = np.random.default_rng(1).integers(1, 10, 2000).astype(np.float32)
@@ -61,10 +64,31 @@ def test_empty_rows_and_spmv():
     np.testing.assert_allclose(y, a @ x, rtol=0, atol=0)
 
 
+def test_columns_confined_below_right_edge():
+    # nx_pad = c0.max()+K can be SMALLER than n when all nonzeros sit in
+    # low columns; the x plane must truncate, not negative-pad (regression)
+    m, n = 300, 10_000
+    rows = np.arange(m)
+    cols = rows % 50
+    a = sp.csr_matrix(
+        (np.arange(1, m + 1, dtype=np.float32), (rows, cols)), shape=(m, n)
+    )
+    bb = build_bandblock(
+        (a.indptr, a.indices, a.data, a.shape), max_bytes_ratio=1000.0,
+        value_dtype=np.float32,
+    )
+    assert bb is not None and bb.nx_pad < n
+    rng = np.random.default_rng(4)
+    xm = rng.integers(1, 10, (n, 2)).astype(np.float32)
+    y = np.asarray(bandmm_spmm(bb, xm, precision="highest", interpret=True))
+    np.testing.assert_allclose(y, a @ xm, rtol=0, atol=0)
+
+
 def test_rn_layout_matches_nr():
     a = sp.csr_matrix(synth.banded(3000, 27, dtype=np.float32))
     bb = build_bandblock(
-        (a.indptr, a.indices, a.data, a.shape), max_bytes_ratio=100.0
+        (a.indptr, a.indices, a.data, a.shape), max_bytes_ratio=100.0,
+        value_dtype=np.float32,
     )
     rng = np.random.default_rng(3)
     xm = rng.integers(1, 10, (a.shape[1], 5)).astype(np.float32)
@@ -106,7 +130,8 @@ def test_rectangular():
     a = sp.csr_matrix(synth.banded(1500, 11, dtype=np.float32))[:, :600]
     a = sp.csr_matrix(a)
     bb = build_bandblock(
-        (a.indptr, a.indices, a.data, a.shape), max_bytes_ratio=100.0
+        (a.indptr, a.indices, a.data, a.shape), max_bytes_ratio=100.0,
+        value_dtype=np.float32,
     )
     if bb is None:
         pytest.skip("gate rejected the clipped band")
