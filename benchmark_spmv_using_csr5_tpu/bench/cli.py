@@ -62,11 +62,13 @@ def main(argv=None):
     ap.add_argument(
         "--format",
         default="csr5",
-        choices=["csr5", "dia", "hyb", "auto"],
+        choices=["csr5", "dia", "hyb", "bandblock", "auto"],
         help="storage format: csr5 (general), dia (diagonal-structured; "
         "streams no column indices), hyb (dense diagonals via DIA + "
-        "remainder via CSR5), or auto (one structural pass picks the "
-        "format by the measured TPU crossovers; ops/select.py)",
+        "remainder via CSR5), bandblock (dense 128-row band blocks "
+        "contracted on the MXU — the multi-rhs --spmm path whose stream "
+        "is paid once for all rhs), or auto (one structural pass picks "
+        "the format by the measured TPU crossovers; ops/select.py)",
     )
     ap.add_argument(
         "--autotune",
@@ -103,14 +105,22 @@ def main(argv=None):
         from ..ops.select import select_format
 
         fmt = select_format(rp, ci, shape)
-        # DIA/HYB benchmark paths are SpMV-only; SpMM keeps CSR5
-        if args.spmm > 1 and fmt != "dia":
-            fmt = "csr5"
+        if args.spmm > 1:
+            # multi-rhs: the MXU band-block path wins whenever the
+            # matrix's 128-row blocks have bounded windows
+            from ..ops.bandmm import build_bandblock
+
+            if build_bandblock((rp, ci, v, shape)) is not None:
+                fmt = "bandblock"
+            elif fmt != "dia":
+                fmt = "csr5"
         print(f"[{name}] auto-selected format: {fmt}")
     if fmt == "dia":
         return _run_dia(args, name, rp, ci, v, shape)
     if fmt == "hyb":
         return _run_hyb(args, name, rp, ci, v, shape)
+    if fmt == "bandblock":
+        return _run_bandblock(args, name, rp, ci, v, shape)
     res = run_benchmark(
         name,
         rp,
@@ -125,6 +135,53 @@ def main(argv=None):
     )
     print(res.report())
     return 0 if res.check_ok else 1
+
+
+def _run_bandblock(args, name, rp, ci, v, shape):
+    """MXU band-block benchmark path (ops/bandmm.py): dense 128-row
+    blocks over bounded column windows, one (R,K)@(K,128) contraction
+    per block — the dense stream is paid once for all --spmm K rhs."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+
+    from ..ops.bandmm import bandmm_spmm, bandmm_supported, build_bandblock
+    from .harness import rel_err_device, time_spmv_device_loop
+
+    R = max(args.spmm, 1)
+    t0 = time.perf_counter()
+    bb = build_bandblock((rp, ci, v, shape))
+    build_ms = (time.perf_counter() - t0) * 1e3
+    if bb is None:
+        raise SystemExit(
+            "matrix's 128-row blocks have no bounded column windows "
+            "(or the dense plane would exceed the waste gate); use "
+            "--format csr5"
+        )
+    if not bandmm_supported(bb, R):
+        raise SystemExit(f"--spmm {R} exceeds the VMEM gate for K={bb.K}")
+    rng = np.random.default_rng(0)
+    xm = rng.integers(1, 10, (shape[1], R)).astype(np.float32)
+    xd = jnp.asarray(xm)
+    y_ref = sp.csr_matrix((v.astype(np.float32), ci, rp), shape=shape) @ xm
+    rel = rel_err_device(bandmm_spmm(bb, xd), y_ref)
+    ok = rel <= 0.01
+    ms = time_spmv_device_loop(
+        lambda b_, x_: bandmm_spmm(b_, x_), xd, args.num_run, operands=bb
+    )
+    gflops = 2 * bb.nnz * R / (ms * 1e-3) / 1e9
+    print(
+        f"[{name}] ({shape[0]}, {shape[1]}) nnz = {bb.nnz}, "
+        f"K = {bb.K}, dense = {bb.dense_bytes / 1e6:.0f} MB "
+        f"({bb.dense.dtype})\n"
+        f"CSR->bandblock time = {build_ms:.3f} ms\n"
+        f"bandblock SpMM({R}) time = {ms:.4f} ms "
+        f"({ms / R:.4f} ms/rhs), {gflops:.2f} GFlops [bandmm]\n"
+        f"Check... {'PASS!' if ok else 'NOT PASS!'} (max rel err {rel:.2e})"
+    )
+    return 0 if ok else 1
 
 
 def _run_hyb(args, name, rp, ci, v, shape):
