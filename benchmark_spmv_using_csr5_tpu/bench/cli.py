@@ -79,16 +79,33 @@ def main(argv=None):
     )
     ap.add_argument(
         "--reorder",
-        choices=["none", "rcm"],
+        choices=["none", "rcm", "auto"],
         default="none",
         help="locality-preserving symmetric permutation before conversion "
         "(bandwidth reduction restores the fast gather tier for "
-        "irregular matrices; square matrices only)",
+        "irregular matrices; square matrices only). 'auto' detects "
+        "scattered-with-recoverable-locality structure and applies RCM "
+        "only when it shrinks the bandwidth >=4x (ops/select.py)",
     )
     args = ap.parse_args(argv)
 
     rp, ci, v, shape, name = load_matrix(args)
-    if args.reorder != "none":
+    if args.reorder == "auto":
+        from ..ops.select import apply_plan, select_plan
+
+        if shape[0] == shape[1]:
+            plan = select_plan(rp, ci, shape)
+            if plan.reorder is not None:
+                (rp, ci, v, shape), _ = apply_plan(
+                    (rp, ci, v, shape), plan
+                )
+                name = f"{name}+{plan.reorder}"
+                print(
+                    f"[{name}] auto-reorder: bandwidth "
+                    f"{plan.bandwidth_before} -> {plan.bandwidth_after} "
+                    f"({plan.plan_ms:.0f} ms)"
+                )
+    elif args.reorder != "none":
         import scipy.sparse as sp
 
         from ..utils import reorder as _reorder

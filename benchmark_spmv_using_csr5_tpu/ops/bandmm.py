@@ -34,8 +34,14 @@ f32 at +21%).
 Precision semantics: DEFAULT rounds the matmul operands to bf16 and
 accumulates in f32 — EXACT for integer-class values (the benchmark
 convention, main.cu:317-326) and <= ~2^-8 relative for general floats
-(inside the reference's 1%% validation gate, main.cu:361-384). Pass
-``precision="highest"`` for full f32 products.
+(inside the reference's 1%% validation gate, main.cu:361-384). The
+AUTO gate (default behaviour) keeps real-valued users safe without an
+oracle: ``build_bandblock`` stores bf16 only when every matrix value
+round-trips bf16 EXACTLY (then the A-side rounding error is provably
+zero), otherwise it stores f32 and ``bandmm_spmm(precision="auto")``
+escalates to ``Precision.HIGHEST`` (exact f32 products, measured +21%%).
+Residual bf16 rounding of the x operand only occurs on the bf16 plane,
+where the caller's values were integer-class — the benchmark shape.
 """
 
 from __future__ import annotations
@@ -107,13 +113,15 @@ def build_bandblock(
     CSR5 stream). ``csr`` is (row_ptr, col_idx, values, shape), a scipy
     CSR matrix, or a CSRMatrix (host arrays preferred; see convert).
 
-    ``value_dtype`` defaults to **bfloat16**: the SpMM's DEFAULT matmul
-    precision rounds both operands to bf16 anyway, so bf16 storage gives
-    bit-identical results while halving the dense HBM stream and the
-    host->device upload (measured 1.55 -> 1.30 ms on spmm8, and the
-    768 MB upload once took 75 s on a degraded tunnel). Pass
-    ``np.float32`` to enable ``precision="highest"`` (exact f32
-    products)."""
+    ``value_dtype=None`` (default) auto-selects the storage: **bfloat16**
+    when every value round-trips bf16 exactly (integer-class values — the
+    A-side rounding error is then provably zero, and the SpMM's DEFAULT
+    matmul precision rounds operands to bf16 anyway, so bf16 storage is
+    bit-identical while halving the dense HBM stream and the
+    host->device upload: measured 1.55 -> 1.30 ms on spmm8, and the
+    768 MB upload once took 75 s on a degraded tunnel), **float32**
+    otherwise (real-valued data; ``precision="auto"`` then runs exact
+    HIGHEST products). Pass an explicit dtype to override the gate."""
     from ..utils import progress
     from .convert import _as_host_csr
 
@@ -174,7 +182,11 @@ def build_bandblock(
     if value_dtype is None:
         import ml_dtypes
 
-        value_dtype = ml_dtypes.bfloat16
+        # the precision gate: bf16 storage only when provably lossless
+        # for the matrix values (see module docstring)
+        value_dtype = (
+            ml_dtypes.bfloat16 if _bf16_roundtrip_exact(values) else np.float32
+        )
     vdt = np.dtype(value_dtype)
     if vdt != np.float32:
         d16 = arena_take((m_pad, K), vdt, "bb:dense16", zero=False)
@@ -188,6 +200,27 @@ def build_bandblock(
         nx_pad=int(c0.max()) + K,
         nnz_stored=nnz,
     )
+
+
+def _bf16_roundtrip_exact(values: np.ndarray) -> bool:
+    """True iff every value survives f32 -> bf16 -> f32 unchanged (then
+    bf16 storage introduces zero A-side error). Arena-bounced to dodge
+    the fresh-mapping first-write pathology (CLAUDE.md platform rules)."""
+    import ml_dtypes
+
+    nnz = int(values.shape[0])
+    if nnz == 0:
+        return True
+    v32 = np.asarray(values)
+    if v32.dtype != np.float32:
+        buf = arena_take(nnz, np.float32, "bb:v32", zero=False)
+        np.copyto(buf, v32, casting="unsafe")
+        v32 = buf
+    b16 = arena_take(nnz, ml_dtypes.bfloat16, "bb:v16", zero=False)
+    np.copyto(b16, v32, casting="unsafe")
+    rt = arena_take(nnz, np.float32, "bb:v16r", zero=False)
+    np.copyto(rt, b16, casting="unsafe")
+    return bool(np.array_equal(rt, v32))
 
 
 def _expand_rows(row_ptr: np.ndarray, m: int, out: np.ndarray) -> None:
@@ -284,7 +317,7 @@ def bandmm_spmm(
     bb: BandBlockMatrix,
     x_mat: jax.Array,
     alpha=1.0,
-    precision: str = "default",
+    precision: str = "auto",
     interpret: bool = False,
     layout: str = "nr",
 ) -> jax.Array:
@@ -292,12 +325,17 @@ def bandmm_spmm(
 
     ``layout="nr"`` (default): X (n, R) in, Y (m, R) out. ``layout="rn"``:
     X^T (R, n) in, Y^T (R, m) out — the solver-loop layout (see
-    csr5_spmm_pallas). ``precision="default"`` is exact for
-    integer-class values and <= ~2^-8 relative otherwise (inside the
-    reference 1%% gate); ``"highest"`` gives exact f32 products (+21%%
-    runtime measured) and needs an f32-built matrix
+    csr5_spmm_pallas). ``precision="auto"`` (default) follows the
+    storage gate: exact HIGHEST f32 products on an f32-built plane
+    (real-valued matrices), bf16-pass DEFAULT on a bf16 plane
+    (integer-class matrices, where it is exact). ``"default"`` forces
+    the one-pass bf16 matmul (<= ~2^-8 relative on general floats,
+    inside the reference 1%% gate); ``"highest"`` forces exact f32
+    products (+21%% runtime measured) and needs an f32-built matrix
     (``build_bandblock(value_dtype=np.float32)``).
     """
+    if precision == "auto":
+        precision = "highest" if bb.dense.dtype == jnp.float32 else "default"
     if precision == "highest" and bb.dense.dtype != jnp.float32:
         raise ValueError(
             "precision='highest' needs an f32 dense plane: "

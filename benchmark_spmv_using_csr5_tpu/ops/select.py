@@ -24,7 +24,8 @@ tooling.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import time
+from typing import NamedTuple, Optional
 
 import numpy as np
 
@@ -84,3 +85,106 @@ def select_format(row_ptr, col_idx, shape) -> str:
     if st.dense_diags > 0 and st.dense_share >= HYB_MIN_DIA_SHARE:
         return "hyb"
     return "csr5"
+
+
+# ---------------------------------------------------------------------------
+# full plan: format + reordering
+# ---------------------------------------------------------------------------
+
+#: bandwidth (max |col-row|) above which the CSR5 gather leaves the
+#: contiguous-slab tier (CONTIG_PAGE_CAP=8 pages of 128 columns) and a
+#: reordering attempt is worth its one-time cost
+SCATTER_BANDWIDTH = 8 * 128
+#: apply RCM only when it shrinks the bandwidth at least this much —
+#: below it, the permute+reconvert churn outweighs the tier upgrade.
+#: (Uniform-random columns are mathematically RCM-immune: any symmetric
+#: permutation keeps per-tile column draws uniform — the measured tier-2
+#: floor, NOTES.md — so powerlaw-class matrices land here and stay raw.)
+RCM_MIN_GAIN = 4.0
+
+
+class Plan(NamedTuple):
+    """A full execution plan: storage format + optional reordering."""
+
+    format: str  #: "dia" | "hyb" | "csr5"
+    reorder: Optional[str]  #: None | "rcm"
+    bandwidth_before: int
+    bandwidth_after: Optional[int]  #: RCM result (None if not attempted)
+    plan_ms: float  #: decision cost (incl. the RCM attempt if made)
+
+
+def select_plan(row_ptr, col_idx, shape) -> Plan:
+    """Format selection PLUS scattered-locality recovery (the auto
+    ``--reorder`` path).
+
+    The reference leaves both choices to the caller; the measured TPU
+    reality (NOTES.md) is that a badly-ordered matrix with recoverable
+    locality runs ~15x slower on the tier-2 gather than its RCM-
+    reordered self (scrambled300k 10.3 -> 0.7 ms), so a framework
+    front-door must try the reordering itself: when the format is CSR5
+    and the bandwidth exceeds the contiguous-gather reach
+    (SCATTER_BANDWIDTH), compute the RCM permutation and recommend it
+    iff it shrinks the bandwidth >= RCM_MIN_GAIN x. The attempt is
+    O(nnz)-ish one-time preprocessing, same class as conversion itself;
+    matrices with genuinely unrecoverable locality (uniform-random
+    columns) fail the gain gate and stay unpermuted.
+
+    Callers apply the plan with :func:`apply_plan` (returns the
+    permutation so solvers can stay in permuted space;
+    utils/reorder.py).
+    """
+    t0 = time.perf_counter()
+    fmt = select_format(row_ptr, col_idx, shape)
+    bw0 = _bandwidth(row_ptr, col_idx)
+    reorder = None
+    bw1 = None
+    if fmt == "csr5" and bw0 > SCATTER_BANDWIDTH:
+        import scipy.sparse as sp
+
+        from ..utils.reorder import bandwidth as bw_of
+        from ..utils.reorder import rcm_permutation
+
+        a = sp.csr_matrix(
+            (np.ones(len(col_idx), np.float32), col_idx, row_ptr),
+            shape=shape,
+        )
+        perm = rcm_permutation(a)
+        bw1 = int(bw_of(a[perm][:, perm]))
+        if bw1 * RCM_MIN_GAIN <= bw0:
+            reorder = "rcm"
+    return Plan(
+        format=fmt,
+        reorder=reorder,
+        bandwidth_before=bw0,
+        bandwidth_after=bw1,
+        plan_ms=(time.perf_counter() - t0) * 1e3,
+    )
+
+
+def apply_plan(csr, plan: Plan):
+    """Apply a plan's reordering: returns ``(csr', perm)`` with
+    ``csr' = (row_ptr, col_idx, values, shape)`` permuted symmetrically
+    (perm is None when the plan keeps the original order). SpMV relation:
+    ``A' (x[perm]) == (A x)[perm]`` (utils/reorder.permute_symmetric)."""
+    if plan.reorder is None:
+        return csr, None
+    import scipy.sparse as sp
+
+    from ..utils.reorder import reorder_for_locality
+
+    if not isinstance(csr, sp.spmatrix):
+        row_ptr, col_idx, values, shape = csr
+        csr = sp.csr_matrix((values, col_idx, row_ptr), shape=shape)
+    a2, perm = reorder_for_locality(csr, method=plan.reorder)
+    return (a2.indptr, a2.indices, a2.data, a2.shape), perm
+
+
+def _bandwidth(row_ptr, col_idx) -> int:
+    """max |col - row| straight from CSR (no scipy COO materialisation)."""
+    row_ptr = np.asarray(row_ptr, np.int64)
+    col_idx = np.asarray(col_idx, np.int64)
+    if len(col_idx) == 0:
+        return 0
+    m = len(row_ptr) - 1
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(row_ptr))
+    return int(np.abs(col_idx - rows).max())

@@ -114,3 +114,94 @@ def report(points: List[ScalePoint]) -> str:
             f"{p.nnz_per_sec:11.3e} {p.efficiency:9.2%}"
         )
     return "\n".join(lines)
+
+
+#: TPU v5e-class ICI parameters for the hardware projection below. The
+#: virtual-CPU mesh cannot measure ICI, so these public-spec-class
+#: constants (one ICI link sustains ~45 GB/s per direction; per-hop
+#: collective latency ~1 us — the scaling-book mental model) turn the
+#: dryrun's EXACT per-device byte counts into a projected efficiency.
+ICI_GBPS = 45.0
+ICI_HOP_LATENCY_S = 1e-6
+
+
+@dataclasses.dataclass
+class ProjectedPoint:
+    devices: int
+    exchange: str  # "halo" | "all-gather"
+    comm_bytes_per_dev: int
+    comm_ms: float
+    step_ms: float  # projected per-step time at D devices
+    efficiency: float  # spmv_ms / step_ms (weak scaling)
+
+
+def project_weak_scaling(
+    spmv_ms: float,
+    rows_per_device: int,
+    bandwidth: int = 27,
+    device_counts=(2, 4, 8, 16, 64, 256),
+    ici_gbps: float = ICI_GBPS,
+    itemsize: int = 4,
+    overlap: bool = False,
+) -> List[ProjectedPoint]:
+    """Project weak-scaling efficiency on real ICI hardware from (a) the
+    single-chip SpMV time the driver bench measured and (b) the
+    per-device collective traffic the distributed layer exchanges per
+    step — the quantity the virtual-mesh dryrun counts exactly
+    (``DistributedCSR5.x_bytes_exchanged``).
+
+    Weak scaling holds the per-device shard fixed at rows_per_device x
+    bandwidth (the single-chip bench case), so per-device compute time
+    stays ``spmv_ms``; the only added cost is the x exchange. Both
+    exchange modes of parallel/distributed.py are modelled:
+
+    - ``halo``: two single-hop neighbor ppermutes of the
+      128-column-grain halo (``distribute_csr(halo="auto")`` on banded /
+      stencil / RCM-reordered matrices) — traffic independent of D;
+    - ``all-gather``: the full-x fallback, (D-1) * rows_per_device
+      bytes into each device over a bidirectional ring.
+
+    ``efficiency = spmv_ms / (spmv_ms + comm_ms)`` — conservative, no
+    compute/communication overlap (``overlap=True`` models perfect
+    overlap as max() instead). DCN is not modelled: at v5e slice sizes
+    every hop here rides ICI; multi-slice DCN crossings only affect the
+    two slice-edge devices of the halo exchange.
+    """
+    out: List[ProjectedPoint] = []
+    halo_cols = max(-(-(bandwidth // 2) // 128) * 128, 128)  # lane grain
+    for d in device_counts:
+        for exchange in ("halo", "all-gather"):
+            if exchange == "halo":
+                nbytes = 2 * halo_cols * itemsize  # one per neighbor
+                lat = 2 * ICI_HOP_LATENCY_S
+            else:
+                nbytes = (d - 1) * rows_per_device * itemsize
+                lat = (d - 1) * ICI_HOP_LATENCY_S
+            comm_ms = (nbytes / (ici_gbps * 1e9) + lat) * 1e3
+            step = max(spmv_ms, comm_ms) if overlap else spmv_ms + comm_ms
+            out.append(
+                ProjectedPoint(
+                    devices=d,
+                    exchange=exchange,
+                    comm_bytes_per_dev=nbytes,
+                    comm_ms=comm_ms,
+                    step_ms=step,
+                    efficiency=spmv_ms / step,
+                )
+            )
+    return out
+
+
+def projection_report(points: List[ProjectedPoint], spmv_ms: float) -> str:
+    lines = [
+        f"hardware projection (per-chip compute {spmv_ms:.4f} ms, "
+        f"ICI {ICI_GBPS:.0f} GB/s/link, {ICI_HOP_LATENCY_S * 1e6:.0f} us/hop, "
+        f"no overlap):",
+        "devices  exchange     comm B/dev   comm ms    step ms  proj-eff",
+    ]
+    for p in points:
+        lines.append(
+            f"{p.devices:7d}  {p.exchange:<10s} {p.comm_bytes_per_dev:12d} "
+            f"{p.comm_ms:9.4f} {p.step_ms:10.4f} {p.efficiency:9.2%}"
+        )
+    return "\n".join(lines)

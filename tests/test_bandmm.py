@@ -105,6 +105,45 @@ def test_rn_layout_matches_nr():
     np.testing.assert_array_equal(y_nr, a @ xm)
 
 
+def test_precision_gate_auto_dtype():
+    # integer-class values round-trip bf16 -> auto storage is bf16;
+    # decade-spread floats do not -> auto keeps f32 and precision="auto"
+    # escalates to HIGHEST (exact products). VERDICT r3 item 5.
+    import jax.numpy as jnp
+
+    a = sp.csr_matrix(synth.banded(2000, 9, dtype=np.float32))
+    bb_int = build_bandblock(
+        (a.indptr, a.indices, a.data, a.shape), max_bytes_ratio=100.0
+    )
+    assert bb_int.dense.dtype == jnp.bfloat16
+
+    rng = np.random.default_rng(7)
+    a.data = (
+        rng.uniform(0.1, 1.0, a.nnz) * 10.0 ** rng.integers(-1, 2, a.nnz)
+    ).astype(np.float32)
+    bb_f = build_bandblock(
+        (a.indptr, a.indices, a.data, a.shape), max_bytes_ratio=100.0
+    )
+    assert bb_f.dense.dtype == jnp.float32
+    xm = rng.uniform(0.5, 1.5, (a.shape[1], 3)).astype(np.float32)
+    # precision="auto" on the f32 plane = HIGHEST: exact f32 products
+    y = np.asarray(bandmm_spmm(bb_f, xm, interpret=True))
+    y_ref = (a.astype(np.float64) @ xm.astype(np.float64)).astype(np.float32)
+    rel = np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-30)
+    assert rel.max() <= 1e-5
+    # the forced-bf16 path stays within the documented ~2^-8 bound but
+    # is measurably NOT exact on these values
+    bb16 = build_bandblock(
+        (a.indptr, a.indices, a.data, a.shape), max_bytes_ratio=100.0,
+        value_dtype=jnp.bfloat16,
+    )
+    y16 = np.asarray(
+        bandmm_spmm(bb16, xm, precision="default", interpret=True)
+    )
+    rel16 = np.abs(y16 - y_ref) / np.maximum(np.abs(y_ref), 1e-30)
+    assert 1e-5 < rel16.max() <= 0.01
+
+
 def test_scattered_rejects():
     a = sp.csr_matrix(
         synth.power_law(20_000, 20_000, 8.0, dtype=np.float32)
