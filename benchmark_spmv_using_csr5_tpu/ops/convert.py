@@ -511,6 +511,7 @@ def build_csr5(
         if col16 is not None
         else None
     )
+    _mark("transpose")  # host work only; the device uploads time as "upload"
     # NB: arena-backed host planes MUST be uploaded with jnp.array
     # (copy=True): on the CPU backend jnp.asarray can alias the host
     # buffer zero-copy, and the arena reuses that memory on the next
@@ -540,7 +541,13 @@ def build_csr5(
             col_packed = jnp.swapaxes(
                 c32[:, :, :s2] | (c32[:, :, s2:] << 16), 1, 2
             )
-    _mark("transpose")
+    # force the payload transfers to complete here so their cost is
+    # attributed to this phase (async uploads otherwise land inside
+    # whatever phase first touches the arrays)
+    jax.block_until_ready(
+        (col_tiles, val_tiles) + ((col_packed,) if col_packed is not None else ())
+    )
+    _mark("upload")
     last_convert_phases.clear()
     last_convert_phases.update(_ph)
     jdt = jnp.int32
