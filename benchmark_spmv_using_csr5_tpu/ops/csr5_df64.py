@@ -18,15 +18,28 @@ error-free transformations on the VPU:
   cannot be used: the MXU accumulates in plain f32, which is exactly the
   rounding df64 exists to avoid.)
 
-Accuracy: each double-single add/mul is accurate to ~2^-44 relative (the
-classical Dekker/Knuth bounds). Like every segmented prefix-diff method
-(including the reference's CSR5), a row's absolute error scales with the
-magnitude of the enclosing TILE's running prefix, so the row-relative
-bound is O(tile_nnz * 2^-44 * tile_scale/row_scale) — measured ~3e-10
-worst / ~1e-15 median on 6-decade-magnitude-spread matrices, versus the
-same structure from 2^-24 for the f32 kernel (the oracle tests pin df64
-at >= 3 decimal digits beyond f32). Not full IEEE f64 (2^-53): the
-double-single format itself carries ~49 bits.
+Accuracy — the measured error model (round 4). Every per-op transform
+is renormalized double-double class: adds are the QD ieee_add (two
+two-sums + two renormalizations, ~2^-48 relative) and products carry
+all four partial terms (Dekker two-prod + vh*xl + vl*xh + vl*xl,
+~2^-48). The format itself caps at ~49 bits (two f32 mantissas), so
+per-op accuracy is AT the double-single ceiling; what governs the
+worst ROW is structural: like every segmented prefix-diff method
+(including the reference's CSR5 at 2^-53 scale), a row's absolute
+error scales with the magnitude of the enclosing TILE's running
+prefix, i.e.
+
+    rel_err(row) ~ K * 2^-48 * max|tile running prefix| / |row sum|
+
+Measured validation (banded 4k, 7-decade mixed-sign values): the worst
+row's error is predicted by this model within 1.55x, log-log
+correlation 0.83 over all rows, K <= ~2^8 everywhere; worst 2.0e-9 /
+median 4.7e-14 (vs the same structure from 2^-24 on the f32 kernel —
+the oracle tests pin df64 >= 3 decimal digits beyond f32). Reaching
+2^-53-flat per row would require abandoning prefix-diff for direct
+per-row masked sums (O(capw) more VPU work per tile) — the measured
+TPU ceiling for this kernel shape is the model above, not the per-op
+arithmetic.
 
 Structure mirrors the f32 kernel (ops/csr5_kernel.py): same conversion
 (the hi and lo planes share one CSR5 layout since the plan depends only
@@ -228,10 +241,11 @@ def _two_prod(a, b):
 
 
 def _ds_mul_pair(vh, vl, xh, xl):
-    """(vh,vl) * (xh,xl) -> double-single (drops the vl*xl term,
-    ~2^-48 relative)."""
+    """(vh,vl) * (xh,xl) -> double-single, full double-double product
+    (all four partial products; one mul + one add over the truncated
+    variant buys the last ~2^-48 term — round-4 accuracy pass)."""
     p, e = _two_prod(vh, xh)
-    e = e + (vh * xl + vl * xh)
+    e = e + (vh * xl + vl * xh + vl * xl)
     return _quick_two_sum(p, e)
 
 

@@ -119,3 +119,38 @@ def test_df64_supported_gate():
     a = _f64_values(sp.csr_matrix(synth.banded(500, 5)))
     d = build_df64((a.indptr, a.indices, a.data, a.shape))
     assert df64_supported(d)
+
+
+def test_df64_error_model_decade_spread():
+    # the measured error model (module docstring, round 4):
+    # rel_err(row) ~ K * 2^-48 * |tile running prefix| / |row sum|,
+    # K <= ~2^8. Pin worst/median on a 7-decade mixed-sign matrix.
+    rng = np.random.default_rng(0)
+    m = 2000
+    a = sp.csr_matrix(synth.banded(m, 27, dtype=np.float64))
+    a.data = (
+        rng.uniform(0.1, 1.0, a.nnz)
+        * 10.0 ** rng.integers(-3, 4, a.nnz)
+        * np.where(rng.uniform(size=a.nnz) < 0.5, -1.0, 1.0)
+    )
+    x = rng.uniform(0.1, 1.0, m) * 10.0 ** rng.integers(-3, 4, m)
+    d = build_df64((a.indptr, a.indices, a.data, a.shape))
+    y = df64_combine(*df64_spmv(d, x, interpret=True))
+    y_ref = a @ x
+    rel = np.abs(y - y_ref) / np.maximum(np.abs(y_ref), 1e-300)
+    # amplification per row: tile running-prefix scale / |row sum|
+    T = d.a5.config.tile_nnz
+    prod = a.data * x[a.indices]
+    rows = np.repeat(np.arange(m), np.diff(a.indptr))
+    amp = np.zeros(m)
+    for t in range(-(-a.nnz // T)):
+        seg = prod[t * T : (t + 1) * T]
+        pref = np.abs(np.cumsum(seg))
+        r = rows[t * T : (t + 1) * T]
+        uniq = np.unique(r)
+        scale = np.maximum.reduceat(pref, np.searchsorted(r, uniq))
+        np.maximum.at(amp, uniq, scale)
+    pred = amp / np.maximum(np.abs(y_ref), 1e-300) * 2.0**-48
+    mask = rel > 0
+    assert (rel[mask] <= np.maximum(pred[mask], 2.0**-48) * 2**9).all()
+    assert np.median(rel) < 1e-12
