@@ -191,6 +191,77 @@ def _halo_widths(
     return (hl, hr)
 
 
+def _convert_shards_on_device(shard_csrs, cfg: CSR5Config, mesh: Mesh):
+    """All shards converted ON THEIR OWN DEVICES under one shard_map.
+
+    The raw per-shard CSR arrays (padded to a uniform nnz) are placed
+    row-sharded, then every device runs the jittable conversion
+    (ops/convert_device.build_csr5_device) on its resident shard — one
+    trace, D parallel conversions, zero host round-trips after the
+    upload. Statics come from a host pre-pass (plan_statics per shard,
+    unified to the max — the same reduce-before-build split the
+    reference uses to size its offset table, format_cuda.h:362-523).
+    Returns None when the shards cannot share uniform statics (mixed
+    gather modes / page-list widths); the caller then takes the host
+    pipeline + repad path.
+    """
+    from ..ops.convert_device import (
+        PlanStatics,
+        build_csr5_device,
+        plan_statics,
+    )
+
+    stats = [
+        plan_statics(rp, ci, shp, cfg, win_mode="aligned")
+        for rp, ci, _v, shp in shard_csrs
+    ]
+    if len({(s.pages_contig, s.pmax) for s in stats}) != 1:
+        return None
+    uni = PlanStatics(
+        config=cfg,
+        p_pad=max(s.p_pad for s in stats),
+        capw=max(s.capw for s in stats),
+        pmax=stats[0].pmax,
+        pages_contig=stats[0].pages_contig,
+        win_rel=False,
+        tail_row_start=0,
+        eo_width=max(s.eo_width for s in stats),
+        m=shard_csrs[0][3][0],
+        n=max(shp[1] for _rp, _ci, _v, shp in shard_csrs),
+    )
+
+    # pad every shard to one nnz (pad cols repeat the shard's last real
+    # column, pad values are zero — byte-for-byte the convention
+    # build_csr5_device itself uses for its tile padding)
+    nnz_max = max(len(ci) for _rp, ci, _v, _s in shard_csrs)
+    vdt = shard_csrs[0][2].dtype
+    rp_s, ci_s, v_s = [], [], []
+    for rp, ci, v, _shp in shard_csrs:
+        pad = nnz_max - len(ci)
+        last = ci[-1] if len(ci) else np.int32(0)
+        ci_s.append(np.concatenate([ci, np.full(pad, last, np.int32)]))
+        v_s.append(np.concatenate([v, np.zeros(pad, vdt)]))
+        rp_s.append(np.asarray(rp, np.int64))
+
+    axis = mesh.axis_names[0]
+    sharding = NamedSharding(mesh, P(axis))
+    rp_d = jax.device_put(np.stack(rp_s), sharding)
+    ci_d = jax.device_put(np.stack(ci_s), sharding)
+    v_d = jax.device_put(np.stack(v_s), sharding)
+
+    def local_convert(rp, ci, v):
+        a5 = build_csr5_device(rp[0], ci[0], v[0], uni)
+        return jax.tree.map(lambda a: a[None], a5)
+
+    return shard_map(
+        local_convert,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )(rp_d, ci_d, v_d)
+
+
 def distribute_csr(
     row_ptr: np.ndarray,
     col_idx: np.ndarray,
@@ -199,6 +270,7 @@ def distribute_csr(
     mesh: Mesh,
     sigma: int = AUTO_TUNED_SIGMA,
     halo: str = "none",
+    convert: str = "host",
 ) -> DistributedCSR5:
     """Partition A into contiguous row blocks (one per mesh device) and
     convert each block to CSR5 with uniform static shapes.
@@ -208,6 +280,15 @@ def distribute_csr(
     single-hop halo cheaper than the gather (banded / stencil / RCM-
     reordered), shards are built over per-device column windows and x is
     exchanged with two neighbor ppermutes (see ``distributed_spmv``).
+
+    ``convert``: "host" (default) converts each shard with the host
+    pipeline and uploads the finished planes. "device" uploads the RAW
+    per-shard CSR arrays and runs the jittable conversion
+    (ops/convert_device.build_csr5_device) under ONE shard_map — every
+    device converts its own resident shard in parallel with no host
+    round-trip, the multi-chip analogue of the reference's all-on-device
+    asCSR5 (format_cuda.h:97-744). Falls back to "host" when the
+    per-shard plans cannot share uniform statics (mixed gather modes).
     """
     m, n = shape
     D = mesh.devices.size
@@ -226,7 +307,7 @@ def distribute_csr(
         if hw is not None and hw[0] + hw[1] < (D - 1) * n_per:
             halo_wid = hw
 
-    shards = []
+    shard_csrs = []  # host (row_ptr, col_idx, values, (rows_per, n_loc))
     for d in range(D):
         if halo_wid is not None:
             n_per = -(-n // D)
@@ -237,34 +318,41 @@ def distribute_csr(
         r0, r1 = d * rows_per, min((d + 1) * rows_per, m)
         if r0 >= m:
             # empty shard: one padded tile
-            local = csr_from_numpy(
-                np.zeros(rows_per + 1, np.int32),
-                np.zeros(0, np.int32),
-                np.zeros(0, values.dtype),
-                (rows_per, n_loc),
+            shard_csrs.append(
+                (
+                    np.zeros(rows_per + 1, np.int64),
+                    np.zeros(0, np.int32),
+                    np.zeros(0, values.dtype),
+                    (rows_per, n_loc),
+                )
             )
-        else:
-            lo, hi = int(row_ptr[r0]), int(row_ptr[r1])
-            lrp = np.zeros(rows_per + 1, dtype=np.int64)
-            lrp[: r1 - r0 + 1] = np.asarray(row_ptr[r0 : r1 + 1]) - lo
-            lrp[r1 - r0 + 1 :] = lrp[r1 - r0]
-            cols = col_idx[lo:hi]
-            if c0:
-                cols = cols - np.int32(c0)
-            local = csr_from_numpy(
-                lrp, cols, values[lo:hi], (rows_per, n_loc)
-            )
+            continue
+        lo, hi = int(row_ptr[r0]), int(row_ptr[r1])
+        lrp = np.zeros(rows_per + 1, dtype=np.int64)
+        lrp[: r1 - r0 + 1] = np.asarray(row_ptr[r0 : r1 + 1]) - lo
+        lrp[r1 - r0 + 1 :] = lrp[r1 - r0]
+        cols = np.asarray(col_idx[lo:hi], np.int32)
+        if c0:
+            cols = cols - np.int32(c0)
+        shard_csrs.append((lrp, cols, values[lo:hi], (rows_per, n_loc)))
+
+    stacked = None
+    if convert == "device":
+        stacked = _convert_shards_on_device(shard_csrs, cfg, mesh)
+    if stacked is None:
         # aligned window maps: shards must share one window anchoring to
         # stack (a shard with small row spans would otherwise pick the
         # relative mode while another picks aligned)
-        shards.append(build_csr5(local, cfg, win_mode="aligned"))
-
-    stacked = _stack_shards(_pad_shard_statics(shards))
-    axis = mesh.axis_names[0]
-    sharding = NamedSharding(mesh, P(axis))
-    stacked = jax.tree.map(
-        lambda a: jax.device_put(a, sharding), stacked
-    )
+        shards = [
+            build_csr5(csr_from_numpy(*c), cfg, win_mode="aligned")
+            for c in shard_csrs
+        ]
+        stacked = _stack_shards(_pad_shard_statics(shards))
+        axis = mesh.axis_names[0]
+        sharding = NamedSharding(mesh, P(axis))
+        stacked = jax.tree.map(
+            lambda a: jax.device_put(a, sharding), stacked
+        )
     return DistributedCSR5(
         shape=shape,
         config=cfg,

@@ -226,3 +226,69 @@ def test_handle_reinput_replaces_matrix():
     h.set_x(x)
     y = np.asarray(h.spmv(1.0))
     np.testing.assert_allclose(y, a2 @ x, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# device-side shard conversion (round 4): every device converts its own
+# resident shard under one shard_map (ops/convert_device wiring)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("halo", ["none", "auto"])
+def test_distribute_csr_device_convert(halo):
+    a_sp = synth.banded(1024, 9, dtype=np.float32)
+    mesh = make_mesh(4)
+    da_h = distribute_csr(
+        a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh, halo=halo
+    )
+    da_d = distribute_csr(
+        a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh, halo=halo,
+        convert="device",
+    )
+    assert (da_d.halo is None) == (da_h.halo is None)
+    x = synth.dense_x(a_sp.shape[1], dtype=np.float32)
+    y_h = np.asarray(
+        jax.jit(lambda xx: distributed_spmv(da_h, xx, mesh))(jnp.asarray(x))
+    )
+    y_d = np.asarray(
+        jax.jit(lambda xx: distributed_spmv(da_d, xx, mesh))(jnp.asarray(x))
+    )
+    np.testing.assert_array_equal(y_d, y_h)
+    np.testing.assert_allclose(y_d, a_sp @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_distribute_csr_device_convert_uneven_and_empty():
+    # 5 devices over 520 rows: ragged last shard + shards with uneven nnz
+    a_sp = synth.banded(520, 7, dtype=np.float32)
+    mesh = make_mesh(5)
+    da_d = distribute_csr(
+        a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh,
+        convert="device",
+    )
+    x = synth.dense_x(a_sp.shape[1], dtype=np.float32)
+    y_d = np.asarray(
+        jax.jit(lambda xx: distributed_spmv(da_d, xx, mesh))(jnp.asarray(x))
+    )
+    np.testing.assert_allclose(y_d, a_sp @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_distribute_csr_device_convert_scattered_fallback_or_exact():
+    # power-law columns: whatever path the uniform-statics gate takes,
+    # the result must match the host-converted distribution
+    a_sp = sp.csr_matrix(synth.power_law(800, 800, 6.0, dtype=np.float32))
+    mesh = make_mesh(4)
+    da_h = distribute_csr(
+        a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh
+    )
+    da_d = distribute_csr(
+        a_sp.indptr, a_sp.indices, a_sp.data, a_sp.shape, mesh,
+        convert="device",
+    )
+    x = synth.dense_x(a_sp.shape[1], dtype=np.float32)
+    y_h = np.asarray(
+        jax.jit(lambda xx: distributed_spmv(da_h, xx, mesh))(jnp.asarray(x))
+    )
+    y_d = np.asarray(
+        jax.jit(lambda xx: distributed_spmv(da_d, xx, mesh))(jnp.asarray(x))
+    )
+    np.testing.assert_allclose(y_d, y_h, rtol=1e-6, atol=1e-6)
