@@ -93,9 +93,19 @@ def _unpack_fields(cls, path: str, expect_type: str):
                             f"the checkpoint at a narrower dtype"
                         )
                     kwargs[f.name] = dev
-            else:
+            elif f.name in static:
                 v = static[f.name]
                 kwargs[f.name] = tuple(v) if isinstance(v, list) else v
+            elif f.default is not dataclasses.MISSING:
+                # static field added after this checkpoint was written
+                # (e.g. yb_rows): the default always means "feature off",
+                # which is exactly right for a pre-feature win_map
+                kwargs[f.name] = f.default
+            else:
+                raise ValueError(
+                    f"loading {path}: field {f.name!r} missing and has "
+                    f"no default"
+                )
     return cls(**kwargs)
 
 
