@@ -88,7 +88,14 @@ class CSR5Config:
     sigma: int = 16
     #: Tiles processed per Pallas grid step (the analogue of
     #: THREAD_GROUP / THREAD_BUNCH block shaping, common_cuda.h:14-15).
-    tiles_per_block: int = 32
+    #: Measured (round-4 TPU sweep, NOTES.md): with the batched window
+    #: pass-2 the per-block fixed costs (two MXU scan matmuls + the
+    #: (B,128) wrap/diff ops) amortize over B — B=128 runs the banded
+    #: primary 21%% faster than the round-1 optimum B=32 (0.208 vs 0.246
+    #: ms), banded2M -15%%, scattered/SpMM a wash. The kernel's
+    #: ``_effective_block`` halves B automatically when the per-block
+    #: SMEM meta block or the tile count cannot support it.
+    tiles_per_block: int = 128
     #: Index dtype name (TPU-native int32; the reference templates iT/uiT).
     index_dtype: str = "int32"
 

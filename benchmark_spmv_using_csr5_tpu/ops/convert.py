@@ -245,9 +245,12 @@ def build_csr5(
         progress.emit(f"convert:{name}")
 
     p = max(1, -(-nnz // T))  # every tile padded; tail is the last tile
-    # pad tile count to a multiple of tiles_per_block for the kernel grid
-    B = config.tiles_per_block
-    p_pad = -(-p // B) * B
+    # pad tile count to a multiple of the kernel block size; the quantum
+    # shrinks to the next pow2 >= p for small matrices so a 1-tile matrix
+    # does not pad out to tiles_per_block tiles (the kernel's
+    # _effective_block adapts B to whatever p_pad supports)
+    quantum = min(config.tiles_per_block, _pow2_at_least(p, 1))
+    p_pad = -(-p // quantum) * quantum
     nnz_pad = p_pad * T
 
     # nnz-scale scratch comes from the process-lifetime arena: fresh

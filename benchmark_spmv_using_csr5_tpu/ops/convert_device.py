@@ -319,7 +319,11 @@ def plan_statics(
         config = CSR5Config(sigma=compute_sigma(m, nnz))
     T = config.tile_nnz
     p = max(1, -(-nnz // T))
-    p_pad = -(-p // config.tiles_per_block) * config.tiles_per_block
+    # same small-matrix quantum rule as the host pipeline (bit-for-bit)
+    from .convert import _pow2_at_least
+
+    quantum = min(config.tiles_per_block, _pow2_at_least(p, 1))
+    p_pad = -(-p // quantum) * quantum
 
     row_ptr = np.asarray(row_ptr, np.int64)
     bounds = np.arange(p_pad + 1, dtype=np.int64) * T

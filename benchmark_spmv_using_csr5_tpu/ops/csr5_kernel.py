@@ -119,8 +119,9 @@ def _meta_width(pmax: int) -> int:
 def _effective_block(cfg_tiles_per_block: int, pmax: int, num_tiles: int) -> int:
     """Largest power-of-two B <= tiles_per_block whose meta block fits SMEM.
 
-    num_tiles is padded to a multiple of tiles_per_block by the conversion,
-    so any power-of-two divisor of it keeps the grid exact.
+    num_tiles is padded by the conversion to a multiple of
+    min(tiles_per_block, pow2 >= p), so the doubling loop's divisibility
+    check finds the largest usable power-of-two block.
     """
     B = 1
     while (
