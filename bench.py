@@ -131,6 +131,14 @@ def _report_stale_processes() -> None:
         )
 
 
+#: wall seconds the last successful tunnel probe took: the "weather"
+#: signal. A healthy warm tunnel answers in ~2 s; a degraded-but-alive
+#: one was measured at 75-121 s (2026-08-20) — in that state a first-case
+#: jit compile legitimately exceeds the default case patience, so
+#: patience scales with this.
+_last_probe_s = 30.0
+
+
 def _probe_tunnel(patience: float = PROBE_PATIENCE_S) -> bool:
     """One tiny jitted op in a subprocess: True iff the TPU tunnel
     answers within `patience` seconds. A dead/held tunnel hangs the
@@ -141,6 +149,8 @@ def _probe_tunnel(patience: float = PROBE_PATIENCE_S) -> bool:
         "print(float(jax.jit(lambda a: (a * 2 + 1).sum())"
         "(jnp.arange(1024, dtype=jnp.float32))))"
     )
+    global _last_probe_s
+    t0 = time.monotonic()
     proc = subprocess.Popen(
         [sys.executable, "-c", code],
         stdout=subprocess.DEVNULL,
@@ -149,7 +159,10 @@ def _probe_tunnel(patience: float = PROBE_PATIENCE_S) -> bool:
         start_new_session=True,
     )
     try:
-        return proc.wait(timeout=patience) == 0
+        ok = proc.wait(timeout=patience) == 0
+        if ok:
+            _last_probe_s = time.monotonic() - t0
+        return ok
     except subprocess.TimeoutExpired:
         try:
             os.killpg(proc.pid, 9)
@@ -269,8 +282,15 @@ def run_suite(names, results, env_extra=None):
     try:
         while pending:
             current = pending[0]
+            # degraded-but-alive tunnel (slow probe): everything the child
+            # does — jit compiles especially — slows by the same factor,
+            # so silence is only meaningful on the weather-scaled clock.
+            # A healthy ~2 s probe leaves patience unchanged; the measured
+            # 120 s degraded probe scales it up to 3x.
+            weather = min(max(_last_probe_s / 10.0, 1.0), 3.0)
             patience = min(
-                CASE_INACTIVITY_S.get(current, CASE_INACTIVITY_DEFAULT_S),
+                CASE_INACTIVITY_S.get(current, CASE_INACTIVITY_DEFAULT_S)
+                * weather,
                 max(_left(), 30),
             )
             line = child.next_line(patience)
