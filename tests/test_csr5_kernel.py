@@ -149,3 +149,22 @@ def test_kernel_packed_tier1():
     np.testing.assert_allclose(
         y_pl, y_ref, atol=2e-5 * max(1.0, np.abs(y_ref).max())
     )
+
+
+def test_effective_block_default_128():
+    # round-4 sweep (NOTES.md): the batched pass-2 amortizes per-block
+    # fixed costs, so the default config must reach B=128 on big
+    # structured matrices while small matrices keep tiny pad counts
+    from benchmark_spmv_using_csr5_tpu.ops.csr5_kernel import _effective_block
+
+    a = synth.banded(20000, 27, dtype=np.float32)
+    a5 = build_csr5(csr_from_scipy(a))  # default config
+    assert a5.config.tiles_per_block == 128
+    assert _effective_block(128, a5.pmax, a5.num_tiles) == 128
+    assert a5.num_tiles % 128 == 0
+    # one-tile matrix: the pad quantum collapses, not 128 tiles of pad
+    b = synth.banded(60, 3, dtype=np.float32)
+    b5 = build_csr5(csr_from_scipy(b))
+    assert b5.num_tiles == 1
+    # huge page lists cap B through the SMEM meta budget
+    assert _effective_block(128, 4096, 1024) == 8
