@@ -66,11 +66,13 @@ Static limits of this kernel (checked by :func:`pallas_supported` /
 f32/bf16 values, sigma a multiple of 8, pmax <= MAX_FORI_PAGES, x and y
 (x R) resident in VMEM.
 
-Measured on one TPU v5e chip (f32, round-3 full-bench shakedown):
-banded 500k x 14M nnz = 0.2562 ms = 82.0% of the 819 GB/s HBM roofline,
-exact vs scipy (run-to-run spread ~±10%: BENCH_r02's driver run
-measured the pre-round-3 kernel at 0.2751/76.3%). See NOTES.md for the
-ablation history.
+Measured on one TPU v5e chip (f32, round-4 session-2 full-bench
+shakedown, tiles_per_block=128): banded 500k x 14M nnz = 0.2122 ms =
+99.0% of the reference bytes model over the 819 GB/s HBM roofline
+(the model charges an x read per nnz; this kernel reads each x page
+once per tile, so >100% is reachable), exact vs scipy. Run-to-run
+spread ~±10%; the driver's BENCH_r*.json is the authoritative record.
+See NOTES.md for the ablation history.
 """
 
 from __future__ import annotations
