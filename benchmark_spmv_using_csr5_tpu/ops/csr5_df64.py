@@ -81,6 +81,12 @@ from .csr5_kernel import (
     build_meta_plane,
 )
 
+#: df64's own block-size cap. The f32 kernel's B=128 default amortizes
+#: its batched window pass-2; this kernel's pass 2 is the per-tile
+#: scalar loop, and bigger blocks only lose (TPU sweep, banded500k:
+#: B32 0.961 / B64 0.982 / B128 1.017 ms — NOTES round 4 session 2).
+DF64_BLOCK_CAP = 32
+
 
 @struct.dataclass
 class DF64CSR5:
@@ -176,7 +182,9 @@ def df64_supported(d) -> bool:
         return False
     if _meta_width(a5.pmax) * 4 > _SMEM_META_BUDGET:
         return False
-    B = _effective_block(cfg.tiles_per_block, a5.pmax, a5.num_tiles)
+    B = _effective_block(
+        min(cfg.tiles_per_block, DF64_BLOCK_CAP), a5.pmax, a5.num_tiles
+    )
     blk = 2 * (2 * B * cfg.tile_nnz * 8 + B * a5.capw * 4)
     scr = 2 * cfg.sigma * B * LANES * 4 + 2 * B * LANES * 4
     vmem = 2 * (a5.n_pad + LANES + a5.m_pad) * 4 + blk + scr
@@ -534,7 +542,7 @@ def _df64_spmv_jit(d: DF64CSR5, xh, xl, interpret: bool):
     valh2d = a5.val_tiles.reshape(p * sigma, LANES)
     vall2d = d.val_lo_tiles.reshape(p * sigma, LANES)
 
-    B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
+    B = _effective_block(min(cfg.tiles_per_block, DF64_BLOCK_CAP), a5.pmax, p)
     call = _make_df64_call(
         p, B, sigma, a5.pmax, a5.capw, n_pad, m_pad, interpret,
         contig=a5.pages_contig, win_rel=a5.win_rel,
