@@ -61,6 +61,8 @@ CASES = [
     "mtx_powlaw300k",
     "scatband300k",
     "powerlaw200k",
+    "dist1_banded500k",  # distributed path on the real chip (1-dev mesh)
+    "fem3block600k",  # FEM dense-row-block class (cant/consph shape)
     "spmm8_banded500k",
     "spmm16_banded500k",  # MXU band-block path: cost ~flat in R
     "spmmf8_banded500k",  # float-valued SpMM: the bandmm precision gate
@@ -199,6 +201,11 @@ def _wait_for_tunnel(reserve_s: float) -> bool:
 
 
 def _summary(results: dict) -> dict:
+    """COMPACT summary (<~400 B): the driver's tail capture is ~2 KB, so
+    the FINAL stdout line must stay small to be machine-parseable
+    (BENCH_r04 landed 15/15 cases but its inline-extras summary outgrew
+    the tail window -> parsed=null; the official record lost the round).
+    Per-case extras go to BENCH_full.json + earlier stdout lines."""
     primary = results.get(PRIMARY)
     out = {
         "metric": "csr5_spmv_pct_hbm_roofline_banded500k_f32",
@@ -209,17 +216,41 @@ def _summary(results: dict) -> dict:
         else 0.0,
         "check": bool(results)
         and all(r.get("check_ok", False) for r in results.values()),
-        "extras": {
-            k: {kk: vv for kk, vv in r.items() if kk != "name"}
-            for k, r in results.items()
-        },
+        "cases_done": len(results),
+        "cases_total": len(CASES),
+        "full": "BENCH_full.json",
     }
     if primary:
         out["gflops"] = primary["gflops"]
         out["gnnz_per_s"] = round(primary["nnz_per_sec"] / 1e9, 3)
+        out["primary_ms"] = primary["spmv_ms"]
     else:
         out["error"] = "primary benchmark did not land"
     return out
+
+
+def _full_record(results: dict) -> dict:
+    """The complete per-case record: compact fields + full extras."""
+    out = _summary(results)
+    out["extras"] = {
+        k: {kk: vv for kk, vv in r.items() if kk != "name"}
+        for k, r in results.items()
+    }
+    return out
+
+
+def _emit(results: dict) -> None:
+    """Write the full record to BENCH_full.json, stream the full extras
+    on an EARLY stdout line, and print the compact summary LAST — so a
+    driver kill at any point leaves a parseable final line."""
+    full = _full_record(results)
+    try:
+        with open(os.path.join(_here, "BENCH_full.json"), "w") as f:
+            json.dump(full, f)
+    except OSError as e:
+        print(f"[bench] BENCH_full.json write failed: {e}", file=sys.stderr)
+    print(json.dumps(full), flush=True)
+    print(json.dumps(_summary(results)), flush=True)
 
 
 class _Child:
@@ -315,7 +346,7 @@ def run_suite(names, results, env_extra=None):
                 print(f"[{name}] failed: {res['error']}", file=sys.stderr)
                 continue
             results[name] = res
-            print(json.dumps(_summary(results)), flush=True)
+            _emit(results)
     finally:
         child.kill()
     return pending
@@ -389,7 +420,7 @@ def main():
         if r2 is not None and r2.get("spmv_ms", 1e30) < primary["spmv_ms"]:
             results[PRIMARY] = r2
 
-    print(json.dumps(_summary(results)))
+    _emit(results)
 
 
 if __name__ == "__main__":
