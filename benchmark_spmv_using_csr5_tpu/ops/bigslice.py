@@ -219,7 +219,7 @@ def _sliced_spmv_jit(sl: SlicedCSR5, x, alpha, interpret: bool, scale: bool):
     final y concatenate of the v1 executor are gone entirely. Offsets are
     kernel *data*, so uniform slices still share one Mosaic binary."""
     from .csr5_kernel import (
-        _effective_block,
+        _choose_block,
         _make_pallas_call,
         build_meta_plane,
     )
@@ -248,7 +248,7 @@ def _sliced_spmv_jit(sl: SlicedCSR5, x, alpha, interpret: bool, scale: bool):
             else a5.col_idx_tiles.reshape(p * sigma, LANES)
         )
         val2d = a5.val_tiles.reshape(p * sigma, LANES)
-        B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
+        B = _choose_block(a5)
         offs = jnp.array(
             [[c0 // LANES, r0 // LANES] + [0] * 6], jnp.int32
         )

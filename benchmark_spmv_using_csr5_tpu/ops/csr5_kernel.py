@@ -141,6 +141,35 @@ def _stream_bytes(a5: CSR5Matrix) -> int:
     return a5.val_tiles.dtype.itemsize + colb
 
 
+def _vmem_estimate(a5: CSR5Matrix, B: int, R: int = 1) -> int:
+    """Kernel VMEM bytes at block size B: resident x/y + double-buffered
+    stream blocks + scratches (R=1 SpMV shape vs R>1 SpMM shape)."""
+    cfg = a5.config
+    blk = 2 * (B * cfg.tile_nnz * _stream_bytes(a5) + B * a5.capw * 4)  # x2 buf
+    if R == 1:
+        # scratches: products + masked window columns (xG) + lane totals
+        scr = cfg.sigma * B * (LANES + a5.capw) * 4 + B * LANES * 4
+    else:
+        # scratches: products + prefixes (both (sigma, R*B*128)) + totals
+        scr = cfg.sigma * R * B * 2 * LANES * 4 + R * B * LANES * 4
+    return R * (a5.n_pad + LANES + a5.m_pad) * 4 + blk + scr
+
+
+def _choose_block(a5: CSR5Matrix, R: int = 1) -> int:
+    """The B the kernel actually launches with: the SMEM/divisibility
+    pick of :func:`_effective_block`, halved until the VMEM estimate
+    fits. Halving preserves divisibility (B stays a pow2 divisor of the
+    padded tile count). Keeps big-capw/big-pmax matrices on the Pallas
+    path at a smaller block instead of silently falling back to the
+    ~100x-slower XLA executor (ADVICE r04: with the default B raised
+    32->128 the per-block terms grew 4x and the gate could reject
+    matrices that fit fine at B<=32)."""
+    B = _effective_block(a5.config.tiles_per_block, a5.pmax, a5.num_tiles)
+    while B > 1 and _vmem_estimate(a5, B, R) > _VMEM_BUDGET:
+        B //= 2
+    return B
+
+
 def pallas_supported(a5: CSR5Matrix) -> bool:
     cfg = a5.config
     if a5.val_tiles.dtype not in (jnp.float32, jnp.bfloat16):
@@ -151,12 +180,7 @@ def pallas_supported(a5: CSR5Matrix) -> bool:
         return False
     if _meta_width(a5.pmax) * 4 > _SMEM_META_BUDGET:
         return False
-    B = _effective_block(cfg.tiles_per_block, a5.pmax, a5.num_tiles)
-    blk = 2 * (B * cfg.tile_nnz * _stream_bytes(a5) + B * a5.capw * 4)  # x2 buf
-    # scratches: products + masked window columns (xG) + lane totals
-    scr = cfg.sigma * B * (LANES + a5.capw) * 4 + B * LANES * 4
-    vmem = (a5.n_pad + LANES + a5.m_pad) * 4 + blk + scr
-    return vmem <= _VMEM_BUDGET
+    return _vmem_estimate(a5, _choose_block(a5)) <= _VMEM_BUDGET
 
 
 def build_meta_plane(a5: CSR5Matrix) -> jax.Array:
@@ -729,7 +753,7 @@ def _csr5_spmv_pallas_jit(a5: CSR5Matrix, x, alpha, interpret: bool):
     # the kernel accumulates in f32 either way
     val2d = a5.val_tiles.reshape(p * sigma, LANES)
 
-    B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
+    B = _choose_block(a5)
     call = _make_pallas_call(
         p, B, sigma, a5.pmax, a5.capw, n_pad, m_pad, interpret,
         contig=a5.pages_contig, packed=packed, win_rel=a5.win_rel,
@@ -749,15 +773,10 @@ def pallas_spmm_supported(a5: CSR5Matrix, num_rhs: int) -> bool:
     """SpMM gate: SpMV limits plus R copies of x and y resident in VMEM."""
     if not pallas_supported(a5):
         return False
-    B = _effective_block(a5.config.tiles_per_block, a5.pmax, a5.num_tiles)
-    blk = 2 * (B * a5.config.tile_nnz * _stream_bytes(a5) + B * a5.capw * 4)
-    # scratches: products + prefixes (both (sigma, R*B*128)) + lane totals
-    scr = (
-        a5.config.sigma * num_rhs * B * 2 * LANES * 4
-        + num_rhs * B * LANES * 4
-    )
-    vmem = num_rhs * (a5.n_pad + LANES + a5.m_pad) * 4 + blk + scr
-    return 1 <= num_rhs <= 16 and vmem <= _VMEM_BUDGET
+    if not 1 <= num_rhs <= 16:
+        return False
+    B = _choose_block(a5, R=num_rhs)
+    return _vmem_estimate(a5, B, R=num_rhs) <= _VMEM_BUDGET
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "rn"))
@@ -788,7 +807,7 @@ def _csr5_spmm_pallas_jit(a5: CSR5Matrix, xm, alpha, interpret: bool, rn: bool):
     # the kernel accumulates in f32 either way
     val2d = a5.val_tiles.reshape(p * sigma, LANES)
 
-    B = _effective_block(cfg.tiles_per_block, a5.pmax, p)
+    B = _choose_block(a5, R=R)
     call = _make_pallas_call(
         p, B, sigma, a5.pmax, a5.capw, n_pad, m_pad, interpret, R=R,
         contig=a5.pages_contig, packed=packed, win_rel=a5.win_rel,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -97,9 +98,19 @@ def _unpack_fields(cls, path: str, expect_type: str):
                 v = static[f.name]
                 kwargs[f.name] = tuple(v) if isinstance(v, list) else v
             elif f.default is not dataclasses.MISSING:
-                # static field added after this checkpoint was written
-                # (e.g. yb_rows): the default always means "feature off",
-                # which is exactly right for a pre-feature win_map
+                # Static field added after this checkpoint was written.
+                # CONTRACT (models/formats.py): a defaulted static field's
+                # default must mean "feature off / pre-feature layout" so
+                # old checkpoints keep computing identically. If a future
+                # defaulted field changes numerics, bump FORMAT_VERSION
+                # instead of relying on this fill. Warn so a misloading
+                # checkpoint is diagnosable rather than silently wrong.
+                warnings.warn(
+                    f"loading {path}: field {f.name!r} absent from the "
+                    f"checkpoint; filled with its default {f.default!r} "
+                    f"(pre-feature semantics)",
+                    stacklevel=3,
+                )
                 kwargs[f.name] = f.default
             else:
                 raise ValueError(

@@ -33,6 +33,7 @@ def main():
     y_ref = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape) @ x
     xd = jnp.asarray(x)
 
+    orig_smem_budget = K._SMEM_META_BUDGET
     K._SMEM_META_BUDGET = 288 * 1024  # probe-only override
     for B in (128, 256):
         cfg = CSR5Config(sigma=24, tiles_per_block=B)
@@ -53,7 +54,7 @@ def main():
             file=sys.stderr,
             flush=True,
         )
-    K._SMEM_META_BUDGET = 160 * 1024  # restore for the df64 sweep
+    K._SMEM_META_BUDGET = orig_smem_budget  # restore for the df64 sweep
 
     vals = (a.data.astype(np.float64) * 1.000000001) + 1e-9
     a_sp64 = sp.csr_matrix((vals, a.indices, a.indptr), shape=a.shape)
