@@ -90,6 +90,14 @@ def _suite():
         "spmm8_banded500k": (
             lambda: synth.banded(500_000, 27, dtype=np.float32), 8, 50, False, None,
         ),
+        # FEM block structure (SuiteSparse cant/consph class, BASELINE
+        # configs[1]): uniform dense 3x3 row blocks, ~63 nnz/row, mid
+        # bandwidth — the sigma>=24 + tier-0/1 boundary regime no other
+        # case hits (VERDICT r04 #8). No autotune: the sigma-8 re-tune
+        # targets gather-bound matrices; this one is stream-dense.
+        "fem3block600k": (
+            lambda: synth.fem_blocks(600_000), 1, 100, False, None,
+        ),
         "banded2M": (
             lambda: synth.banded(2_000_000, 27, dtype=np.float32), 1, 100, False, None,
         ),
@@ -209,6 +217,7 @@ def _run_csr5_case(name: str) -> dict:
         "check_ok": bool(res.check_ok),
         "max_rel_err": float(f"{res.max_rel_err:.3e}"),
         "sigma": res.sigma,
+        "storage": res.storage,
         "convert_ms": round(res.convert_ms, 1),
         "convert_phases_ms": {
             k: round(v, 1) for k, v in res.convert_phases.items()
@@ -550,6 +559,75 @@ def _run_spmmf8_case() -> dict:
     return out
 
 
+def _run_dist1_case() -> dict:
+    """Distributed SpMV on a 1-device mesh ON THE REAL CHIP (VERDICT r04
+    #6): the shard_map + ppermute/all-gather wiring and the shard-built
+    CSR5 running under Mosaic, measured against the plain single-chip
+    kernel on the same matrix. The multi-chip path is otherwise only
+    exercised on virtual CPU meshes (no multi-chip hardware here); this
+    pins (a) that the distributed executor compiles and is exact on real
+    hardware and (b) its overhead vs the single-chip kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.convert import build_csr5
+    from ..ops.csr5_kernel import csr5_spmv_pallas
+    from ..parallel.distributed import (
+        distribute_csr,
+        distributed_spmv,
+        make_mesh,
+    )
+    from ..utils import synth
+    from ..utils.perf import get_bytes
+    from .harness import rel_err_device, time_spmv_device_loop
+
+    m, num_run = 500_000, _cap_runs(100)
+    a = synth.banded(m, 27, dtype=np.float32)
+    nnz = a.nnz
+    rng = np.random.default_rng(0)
+    x = rng.integers(1, 10, m).astype(np.float32)
+    xd = jnp.asarray(x)
+    y_ref = a @ x
+
+    # single-chip comparator: default f32 build, the honest baseline for
+    # the overhead number (the shards are also built f32)
+    a5 = build_csr5((a.indptr, a.indices, a.data, a.shape))
+    ms_single = time_spmv_device_loop(
+        lambda a_, x_: csr5_spmv_pallas(a_, x_), xd, num_run, operands=a5
+    )
+
+    mesh = make_mesh(1)
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    da = distribute_csr(a.indptr, a.indices, a.data, a.shape, mesh)
+    rel = rel_err_device(
+        distributed_spmv(da, xd, mesh, backend=backend), y_ref
+    )
+    ms_dist = time_spmv_device_loop(
+        lambda d_, x_: distributed_spmv(d_, x_, mesh, backend=backend),
+        xd, num_run, operands=da,
+    )
+    gb = get_bytes(m, nnz, 4, 4) / 1e9
+    overhead = ms_dist / ms_single - 1.0
+    out = {
+        "name": "dist1_banded500k",
+        "spmv_ms": round(ms_dist, 4),
+        "single_chip_ms": round(ms_single, 4),
+        "overhead_pct": round(overhead * 100, 2),
+        "gflops": round(2 * nnz / (ms_dist * 1e-3) / 1e9, 2),
+        "pct_roofline": round(gb / (ms_dist * 1e-3) / 8.19, 2),
+        "check_ok": rel <= 0.01,
+        "max_rel_err": float(f"{rel:.3e}"),
+        "backend": f"dist1-{backend}",
+    }
+    print(
+        f"[dist1_banded500k] distributed(D=1) {ms_dist:.4f} ms vs "
+        f"single-chip {ms_single:.4f} ms (overhead {overhead:+.1%}), "
+        f"rel={rel:.1e}",
+        file=sys.stderr,
+    )
+    return out
+
+
 def _run_dia_case() -> dict:
     import jax.numpy as jnp
     import scipy.sparse as sp
@@ -681,6 +759,8 @@ def _parent_watchdog() -> None:
 def run_one(name: str) -> dict:
     if name == "dia_tridiag500k":
         return _run_dia_case()
+    if name == "dist1_banded500k":
+        return _run_dist1_case()
     if name == "spmm16_banded500k":
         return _run_spmm16_case()
     if name == "spmmf8_banded500k":

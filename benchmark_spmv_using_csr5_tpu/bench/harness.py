@@ -57,6 +57,9 @@ class BenchResult:
     #: the converted matrix (CSR5Matrix / SlicedCSR5 / DF64 plan), so
     #: callers timing extra variants need not convert again
     matrix: object = None
+    #: on-device value-plane storage dtype ("bfloat16" when the lossless
+    #: auto gate engaged; results are then bit-identical to f32 storage)
+    storage: str = ""
 
     def report(self) -> str:
         """The reference's output lines (main.cu:104-106, :361-384)."""
@@ -67,7 +70,8 @@ class BenchResult:
             f"CSR->CSR5 time = {self.convert_ms:.3f} ms ({ph})\n"
             f"CSR5-based SpMV time = {self.spmv_ms:.4f} ms, "
             f"{self.gbps:.2f} GB/s, {self.gflops:.2f} GFlops, "
-            f"{self.pct_of_roofline:.1f}% of HBM roofline [{self.backend}]\n"
+            f"{self.pct_of_roofline:.1f}% of HBM roofline "
+            f"[{self.backend}{', ' + self.storage if self.storage else ''}]\n"
             f"Check... {ok} (max rel err {self.max_rel_err:.2e})"
         )
 
@@ -222,7 +226,7 @@ def run_benchmark(
             # the row-sliced build (building the whole-matrix form first
             # would double the seconds-scale conversion)
             sliced = build_csr5_sliced(
-                (row_ptr, col_idx, values, shape), cfg
+                (row_ptr, col_idx, values, shape), cfg, value_dtype="auto"
             )
     if df64 is not None:
         a5 = df64
@@ -234,9 +238,16 @@ def run_benchmark(
         # an explicitly requested sigma always wins over the re-tune
         from ..ops.convert import build_csr5_autotuned
 
-        a5 = build_csr5_autotuned((row_ptr, col_idx, values, shape), cfg)
+        a5 = build_csr5_autotuned(
+            (row_ptr, col_idx, values, shape), cfg, value_dtype="auto"
+        )
     else:
-        a5 = build_csr5((row_ptr, col_idx, values, shape), cfg)
+        # "auto" storage: bf16 value plane only when provably lossless
+        # (bit-identical results, half the upload + stream — the
+        # conversion-cost mandate, VERDICT r04 #2)
+        a5 = build_csr5(
+            (row_ptr, col_idx, values, shape), cfg, value_dtype="auto"
+        )
     convert_ms = (time.perf_counter() - t0) * 1e3
     from ..ops.convert import last_convert_phases
 
@@ -313,6 +324,12 @@ def run_benchmark(
         num_rhs=num_rhs,
         n=n,
     )
+    if df64 is not None:
+        storage = "df64(2xf32)"
+    elif sliced is not None:
+        storage = str(np.dtype(sliced.slices[0].val_tiles.dtype))
+    else:
+        storage = str(np.dtype(a5.val_tiles.dtype))
     return BenchResult(
         name=name,
         m=m,
@@ -321,6 +338,7 @@ def run_benchmark(
         sigma=a5.sigma,
         dtype=str(dtype),
         backend=backend,
+        storage=storage,
         convert_ms=convert_ms,
         convert_phases=convert_phases,
         spmv_ms=spmv_ms,

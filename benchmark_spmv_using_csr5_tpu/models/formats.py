@@ -149,8 +149,12 @@ class CSR5Matrix:
     empty_offset: jax.Array  # (num_offsets,) int32
 
     # --- tile-transposed payload ----------------------------------------
-    # element (t, s, l) = CSR element t*omega*sigma + l*sigma + s
-    col_idx_tiles: jax.Array  # (p, sigma, omega) int32
+    # element (t, s, l) = CSR element t*omega*sigma + l*sigma + s.
+    # col_idx_tiles may be None when ``col_packed`` is present: the packed
+    # plane + ``pages`` reconstruct it exactly (:func:`col_tiles_of`), so
+    # the conversion skips uploading the redundant 4 B/nnz raw plane
+    # (upload is the dominant conversion cost on this platform, NOTES.md).
+    col_idx_tiles: Optional[jax.Array]  # (p, sigma, omega) int32 or None
     val_tiles: jax.Array  # (p, sigma, omega) float
 
     # --- TPU execution plan ---------------------------------------------
@@ -173,6 +177,12 @@ class CSR5Matrix:
     col_packed: Optional[jax.Array] = None
 
     # --- static plan parameters -----------------------------------------
+    # CHECKPOINT CONTRACT (utils/checkpoint.py): loaders default-fill any
+    # static field absent from an older checkpoint, so a field default
+    # added here MUST mean "feature off / pre-feature layout" — i.e. a
+    # pre-feature checkpoint filled with the default must compute
+    # bit-identically to how it did when saved. A defaulted field that
+    # changes numerics requires a checkpoint.FORMAT_VERSION bump instead.
     #: True when win_map slots are anchored at each tile's OWN first row
     #: (capw == 128; the kernel rotates the diffed window by row_start%128
     #: into y). False = slots anchored at the 128-aligned base row.
@@ -210,6 +220,32 @@ class CSR5Matrix:
     @property
     def omega(self) -> int:
         return self.config.omega
+
+
+def col_tiles_of(a5: CSR5Matrix) -> jax.Array:
+    """The (p, sigma, omega) int32 column plane, decoding ``col_packed``
+    when the raw plane was dropped at conversion time.
+
+    The packed code of element (t, s, l) is ``lane | local_page << 7``
+    where ``local_page`` indexes ``pages[t]`` and the original column is
+    ``pages[t][local_page] * 128 + lane`` — an exact inverse (pad
+    elements round-trip too: their codes point at real pages). Jittable;
+    used by asCSR and the XLA oracle executor, never by the hot kernel
+    (which streams ``col_packed`` directly).
+    """
+    if a5.col_idx_tiles is not None:
+        return a5.col_idx_tiles
+    cp = a5.col_packed  # (p, sigma/2, omega) int32, two codes per word
+    p, s2, om = cp.shape
+    codes = jnp.concatenate(
+        [cp & 0xFFFF, (cp >> 16) & 0xFFFF], axis=1
+    )  # (p, sigma, omega), row s holds element (t, s, l)'s code
+    lane = codes & 127
+    local = codes >> 7
+    page = jnp.take_along_axis(
+        a5.pages, local.reshape(p, 2 * s2 * om), axis=1
+    ).reshape(p, 2 * s2, om)
+    return page * 128 + lane
 
 
 def csr_from_numpy(

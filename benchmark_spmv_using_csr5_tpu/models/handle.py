@@ -95,7 +95,17 @@ class SpMVHandle:
             if should_slice(*self.shape):
                 self._csr5_sliced = build_csr5_sliced(src, cfg)
         if self._csr5_sliced is None:
-            self._csr5 = build_csr5(src, cfg)
+            if self._sigma == AUTO_TUNED_SIGMA:
+                # auto sigma: the structure-aware re-tune (computeSigma
+                # extended per NOTES — a scattered-tier conversion
+                # rebuilds at sigma=8, measured ~8-30% on gather-bound
+                # matrices). An explicit setSigma skips it, like the
+                # reference's fixed-sigma path (anonymouslib_cuda.h:295).
+                from ..ops.convert import build_csr5_autotuned
+
+                self._csr5 = build_csr5_autotuned(src, cfg)
+            else:
+                self._csr5 = build_csr5(src, cfg)
         self._format = Format.CSR5
         return self
 

@@ -213,6 +213,7 @@ def build_csr5(
     sigma: int = AUTO_TUNED_SIGMA,
     value_dtype=None,
     win_mode: str = "auto",
+    keep_raw_cols: bool = False,
 ) -> CSR5Matrix:
     """CSR -> CSR5: the asCSR5() analogue (anonymouslib_cuda.h:106-220).
 
@@ -221,8 +222,19 @@ def build_csr5(
     device readback. ``value_dtype`` overrides the stored value dtype --
     ``jnp.bfloat16`` halves the streamed value plane (the kernel
     accumulates in f32 regardless; numpy has no bf16, so the cast happens
-    on device). ``win_mode="aligned"`` forces the 128-aligned window maps
+    on device); ``value_dtype="auto"`` stores bf16 only when every value
+    provably round-trips f32->bf16->f32 (then results are bit-identical
+    to f32 storage — the bandmm precision-gate semantics) and f32
+    otherwise. ``win_mode="aligned"`` forces the 128-aligned window maps
     (the distributed layer needs uniform maps across shards).
+
+    When the stream-compressed ``col_packed`` plane exists, the raw
+    4 B/nnz ``col_idx_tiles`` plane is NOT uploaded (it is exactly
+    reconstructible — :func:`..models.formats.col_tiles_of`); conversion
+    at scale is upload-bound on this platform (NOTES.md), so dropping it
+    cuts the payload from 10 to 6 B/nnz (4 with bf16 values).
+    ``keep_raw_cols=True`` restores the old behaviour for consumers that
+    stream raw columns (the df64 kernel, parity tooling).
     """
     row_ptr, col_idx, values, (m, n) = _as_host_csr(csr)
     nnz = int(values.shape[0])
@@ -495,6 +507,22 @@ def build_csr5(
     # resolve the stored value dtype up front, mirroring what
     # jnp.asarray(...).astype(value_dtype) produced on device: f64 narrows
     # to f32 when x64 is off; value_dtype (e.g. bfloat16) overrides.
+    if value_dtype == "auto":
+        # the bandmm precision gate, applied to storage: bf16 only when
+        # every value survives f32->bf16->f32 unchanged — the kernel
+        # multiplies in f32, so results are then bit-identical to f32
+        # storage while the value plane halves (2 B/nnz stream + upload)
+        from .bandmm import _bf16_roundtrip_exact
+
+        if val_flat.dtype in (
+            np.float32,
+            np.float64,
+        ) and _bf16_roundtrip_exact(values):
+            import ml_dtypes
+
+            value_dtype = ml_dtypes.bfloat16
+        else:
+            value_dtype = None
     if value_dtype is not None:
         vdt = np.dtype(value_dtype)  # ml_dtypes types are numpy-compatible
     elif val_flat.dtype == np.float64 and not jax.config.jax_enable_x64:
@@ -507,7 +535,17 @@ def build_csr5(
         val_cast = arena_take(nnz_pad, vdt, "cv:valcast", zero=False)
         np.copyto(val_cast, val_flat, casting="unsafe")
 
-    col_tr = nativelib.tile_transpose(col_flat, p_pad, sig, omega, arena="cv:coltr")
+    # the raw column plane is redundant whenever col_packed exists (exact
+    # decode via models.formats.col_tiles_of): skip its transpose AND its
+    # 4 B/nnz upload unless the caller streams raw columns
+    drop_raw = col16 is not None and not keep_raw_cols
+    col_tr = (
+        None
+        if drop_raw
+        else nativelib.tile_transpose(
+            col_flat, p_pad, sig, omega, arena="cv:coltr"
+        )
+    )
     val_tr = nativelib.tile_transpose(val_cast, p_pad, sig, omega, arena="cv:valtr")
     pk_tr = (
         nativelib.pack_col16(col16, p_pad, sig, omega, arena="cv:pktr")
@@ -519,7 +557,9 @@ def build_csr5(
     # (copy=True): on the CPU backend jnp.asarray can alias the host
     # buffer zero-copy, and the arena reuses that memory on the next
     # conversion (the TPU path always copies either way)
-    if col_tr is not None:
+    if drop_raw:
+        col_tiles = None
+    elif col_tr is not None:
         col_tiles = jnp.array(col_tr)  # (p, sig, om), pure upload
     else:
         col_tiles = jnp.swapaxes(
@@ -547,10 +587,18 @@ def build_csr5(
     # force the payload transfers to complete here so their cost is
     # attributed to this phase (async uploads otherwise land inside
     # whatever phase first touches the arrays)
-    jax.block_until_ready(
-        (col_tiles, val_tiles) + ((col_packed,) if col_packed is not None else ())
+    payload = tuple(
+        t for t in (col_tiles, val_tiles, col_packed) if t is not None
     )
+    jax.block_until_ready(payload)
     _mark("upload")
+    # uploaded payload observability (VERDICT r04: the phase split showed
+    # conversion is upload-bound — now the record also carries how many
+    # bytes rode the link and the achieved rate)
+    up_bytes = sum(t.size * t.dtype.itemsize for t in payload)
+    _ph["upload_mb"] = up_bytes / 1e6
+    if _ph.get("upload", 0.0) > 0:
+        _ph["upload_gbps"] = up_bytes / 1e6 / _ph["upload"]
     last_convert_phases.clear()
     last_convert_phases.update(_ph)
     jdt = jnp.int32
@@ -602,7 +650,7 @@ def build_csr5_autotuned(
     converts again at sigma=8 and returns that. Costs one extra
     conversion pass — use for matrices that will be applied many times.
     """
-    a5 = build_csr5(csr, config)
+    a5 = build_csr5(csr, config, value_dtype=value_dtype)
     if not a5.pages_contig and a5.config.sigma > 8:
         cfg8 = CSR5Config(
             omega=a5.config.omega,
@@ -610,8 +658,6 @@ def build_csr5_autotuned(
             tiles_per_block=a5.config.tiles_per_block,
         )
         a5 = build_csr5(csr, cfg8, value_dtype=value_dtype)
-    elif value_dtype is not None:
-        a5 = build_csr5(csr, a5.config, value_dtype=value_dtype)
     return a5
 
 
@@ -620,8 +666,10 @@ def csr5_to_csr(a5: CSR5Matrix) -> CSRMatrix:
 
     Inverts the AoS->SoA transpose and drops padding; exact round-trip.
     """
+    from ..models.formats import col_tiles_of
+
     p, sig, omega = a5.num_tiles, a5.sigma, a5.omega
-    col_flat = jnp.swapaxes(a5.col_idx_tiles, 1, 2).reshape(p * sig * omega)
+    col_flat = jnp.swapaxes(col_tiles_of(a5), 1, 2).reshape(p * sig * omega)
     val_flat = jnp.swapaxes(a5.val_tiles, 1, 2).reshape(p * sig * omega)
     return CSRMatrix(
         row_ptr=a5.row_ptr,

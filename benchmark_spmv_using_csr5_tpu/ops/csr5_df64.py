@@ -142,7 +142,9 @@ def build_df64(
     hi, lo = split_f64(values)
     if config is None:
         config = CSR5Config(sigma=compute_sigma(shape[0], len(hi), sigma))
-    a5 = build_csr5((row_ptr, col_idx, hi, shape), config)
+    # keep_raw_cols: the df64 kernel streams the raw i32 column plane
+    # (it has no packed-column decode path yet — NOTES backlog)
+    a5 = build_csr5((row_ptr, col_idx, hi, shape), config, keep_raw_cols=True)
 
     from ..utils import nativelib
 

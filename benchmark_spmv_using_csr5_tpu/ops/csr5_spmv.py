@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..models.formats import CSR5Matrix
+from ..models.formats import CSR5Matrix, col_tiles_of
 
 
 @jax.jit
@@ -39,7 +39,7 @@ def csr5_spmv_xla(a5: CSR5Matrix, x: jax.Array, alpha=1.0) -> jax.Array:
     T = sig * omega
     m = a5.m
 
-    xg = jnp.take(x, a5.col_idx_tiles.reshape(-1), fill_value=0).reshape(
+    xg = jnp.take(x, col_tiles_of(a5).reshape(-1), fill_value=0).reshape(
         p, sig, omega
     )
     prod = (a5.val_tiles * xg).astype(x.dtype)

@@ -95,6 +95,22 @@ def _pad_shard_statics(shards: Sequence[CSR5Matrix]) -> Sequence[CSR5Matrix]:
     # sentinel padding and the contig->list demotion: both preserve each
     # page's rank in the tile's list)
     packed = all(s.col_packed is not None for s in shards)
+    # the raw column plane may have been dropped at conversion (upload
+    # compression); if the packed plane does not survive stacking, decode
+    # the missing raw planes (exact inverse) so the executors keep a
+    # column source. When packed survives, a uniformly-None raw plane is
+    # fine — every executor goes through col_tiles_of / col_packed.
+    raw = all(s.col_idx_tiles is not None for s in shards)
+    if not raw and not packed:
+        from ..models.formats import col_tiles_of
+
+        shards = [
+            s
+            if s.col_idx_tiles is not None
+            else s.replace(col_idx_tiles=col_tiles_of(s))
+            for s in shards
+        ]
+        raw = True
     out = []
     for s in shards:
         dp = p - s.num_tiles
@@ -125,7 +141,7 @@ def _pad_shard_statics(shards: Sequence[CSR5Matrix]) -> Sequence[CSR5Matrix]:
                 seg_offset=padp(s.seg_offset),
                 bit_flag=padp(s.bit_flag),
                 empty_offset_ptr=jnp.pad(s.empty_offset_ptr, (0, dp), mode="edge"),
-                col_idx_tiles=padp(s.col_idx_tiles),
+                col_idx_tiles=padp(s.col_idx_tiles) if raw else None,
                 val_tiles=padp(s.val_tiles),
                 col_packed=padp(s.col_packed) if packed else None,
                 # tile-axis pads use page 0 (safe: padded tiles have all
@@ -342,9 +358,12 @@ def distribute_csr(
     if stacked is None:
         # aligned window maps: shards must share one window anchoring to
         # stack (a shard with small row spans would otherwise pick the
-        # relative mode while another picks aligned)
+        # relative mode while another picks aligned). A 1-device mesh has
+        # no cross-shard padding, so it keeps the faster wrapped mode —
+        # this is also what the real-chip dist1 bench case measures.
+        wm = "aligned" if D > 1 else "auto"
         shards = [
-            build_csr5(csr_from_numpy(*c), cfg, win_mode="aligned")
+            build_csr5(csr_from_numpy(*c), cfg, win_mode=wm)
             for c in shard_csrs
         ]
         stacked = _stack_shards(_pad_shard_statics(shards))

@@ -33,6 +33,10 @@ class ScalePoint:
     ms_per_spmv: float
     nnz_per_sec: float
     efficiency: float  # vs 1-device nnz/s per device
+    #: (max - min) / min over the measurement repeats at this D — the
+    #: shared-host noise indicator (virtual meshes timeshare ONE core;
+    #: single-shot sweeps measured +-40% across rounds, VERDICT r04 #6)
+    spread: float = 0.0
 
 
 def _time_distributed(da, mesh, x, iters: int, backend: str) -> float:
@@ -73,8 +77,15 @@ def weak_scaling(
     iters: int = 20,
     backend: str = "xla",
     matrix_factory: Optional[Callable[[int], "object"]] = None,
+    repeats: int = 1,
 ) -> List[ScalePoint]:
-    """Weak-scaling sweep over mesh sizes; returns one ScalePoint per D."""
+    """Weak-scaling sweep over mesh sizes; returns one ScalePoint per D.
+
+    ``repeats > 1`` measures each D that many times (minutes apart in
+    effect on the shared 1-core host) and keeps the MIN, recording the
+    min-to-max spread — without it a single-shot sweep's retention number
+    swung 109% -> 75% across rounds with no code change (VERDICT r04).
+    """
     n_avail = len(jax.devices())
     if device_counts is None:
         device_counts = [d for d in (1, 2, 4, 8) if d <= n_avail]
@@ -90,7 +101,12 @@ def weak_scaling(
         mesh = make_mesh(d)
         da = distribute_csr(a.indptr, a.indices, a.data, a.shape, mesh)
         x = jnp.asarray(synth.dense_x(m, dtype=np.float32))
-        ms = _time_distributed(da, mesh, x, iters, backend)
+        samples = [
+            _time_distributed(da, mesh, x, iters, backend)
+            for _ in range(max(repeats, 1))
+        ]
+        ms = min(samples)
+        spread = (max(samples) - ms) / ms if ms > 0 else 0.0
         rate = a.nnz / (ms * 1e-3)
         if base_rate is None:
             base_rate = rate
@@ -101,17 +117,18 @@ def weak_scaling(
                 ms_per_spmv=ms,
                 nnz_per_sec=rate,
                 efficiency=rate / d / base_rate,
+                spread=spread,
             )
         )
     return points
 
 
 def report(points: List[ScalePoint]) -> str:
-    lines = ["devices      nnz    ms/spmv      nnz/s   weak-eff"]
+    lines = ["devices      nnz    ms/spmv      nnz/s   weak-eff   spread"]
     for p in points:
         lines.append(
             f"{p.devices:7d} {p.nnz:9d} {p.ms_per_spmv:9.3f} "
-            f"{p.nnz_per_sec:11.3e} {p.efficiency:9.2%}"
+            f"{p.nnz_per_sec:11.3e} {p.efficiency:9.2%} {p.spread:8.1%}"
         )
     return "\n".join(lines)
 

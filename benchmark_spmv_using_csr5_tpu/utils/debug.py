@@ -13,7 +13,7 @@ import sys
 
 import numpy as np
 
-from ..models.formats import CSR5Matrix
+from ..models.formats import CSR5Matrix, col_tiles_of
 
 
 def print_1darray(arr, name: str = "array", file=sys.stdout) -> None:
@@ -26,7 +26,7 @@ def tile_to_string(a5: CSR5Matrix, t: int) -> str:
     """Render tile t: columns/values in (sigma, omega) layout plus the
     decoded descriptor (bit flags, y_offset, seg_offset, dirty bit)."""
     sig, om = a5.sigma, a5.omega
-    col = np.asarray(a5.col_idx_tiles[t])
+    col = np.asarray(col_tiles_of(a5)[t])
     val = np.asarray(a5.val_tiles[t]).astype(np.float64)
     bf = np.asarray(a5.bit_flag[t])  # (nwords, omega)
     yo = np.asarray(a5.y_offset[t])

@@ -144,6 +144,91 @@ def scattered_band(
     return sp.csr_matrix((vals.ravel(), cols.ravel(), row_ptr), shape=(m, m))
 
 
+def fem_blocks(
+    m: int,
+    block: int = 3,
+    neighbors: int = 21,
+    node_bandwidth: int = 1400,
+    dtype=np.float32,
+    seed: int = 0,
+) -> sp.csr_matrix:
+    """FEM block-structured matrix (the SuiteSparse ``cant``/``consph``
+    class, BASELINE.json configs[1]): every node couples a ``block`` x
+    ``block`` dense sub-block to ``neighbors`` other nodes drawn once
+    from a +-``node_bandwidth``/2 window — uniform dense row blocks
+    (every interior row has exactly ``neighbors * block`` nnz in
+    ``neighbors`` runs of ``block`` consecutive columns) at mid
+    bandwidth. Defaults mimic cant's ~63 nnz/row with 3-dof nodes.
+
+    Structurally distinct from every other generator here: banded() is
+    fully contiguous (tier 0), scattered_band() has no block runs; this
+    one sits at the tier-0/1 boundary with sigma >= 24 row spans.
+    """
+    b = block
+    N = max(m // b, 1)
+    m = N * b
+    rng = np.random.default_rng(seed)
+    half = max(node_bandwidth // 2, 1)
+    pool = np.arange(-half, half + 1)
+    pool = pool[pool != 0]
+    take = min(neighbors - 1, pool.size)
+    offs = np.sort(
+        np.concatenate(
+            [[0], rng.choice(pool, size=take, replace=False)]
+        )
+    ).astype(np.int64)
+    ncon = offs.size
+    K = ncon * b  # nnz per interior dof row
+
+    node_i = np.arange(N, dtype=np.int64)
+    valid = (node_i[:, None] + offs[None, :] >= 0) & (
+        node_i[:, None] + offs[None, :] < N
+    )
+    vcnt = valid.sum(axis=1).astype(np.int64)  # valid neighbors per node
+
+    row_ptr = prefaulted(m + 1, np.int64)
+    row_ptr[0] = 0
+    np.cumsum(np.repeat(vcnt * b, b), out=row_ptr[1:])
+    nnz = int(row_ptr[-1])
+    col_idx = prefaulted(nnz, np.int32)
+
+    a0 = int(-offs[0])  # first node with all neighbors in range
+    b0 = int(N - offs[-1])
+    # interior nodes: all b rows of a node share one sorted column
+    # template ((i + offs) * b expanded to runs of b); chunked broadcast
+    # writes into the prefaulted plane (first-touch rules, NOTES.md)
+    if b0 > a0:
+        inner = col_idx[row_ptr[a0 * b] : row_ptr[b0 * b]].reshape(
+            (b0 - a0) * b, K
+        )
+        CH = 1 << 15
+        lane = np.arange(b, dtype=np.int32)
+        for s in range(a0, b0, CH):
+            e = min(s + CH, b0)
+            tmpl = (
+                (np.arange(s, e, dtype=np.int64)[:, None] + offs) * b
+            )[:, :, None] + lane  # (chunk, ncon, b)
+            tmpl = tmpl.reshape(e - s, K).astype(np.int32)
+            np.copyto(
+                inner[(s - a0) * b : (e - a0) * b],
+                np.broadcast_to(tmpl[:, None, :], (e - s, b, K)).reshape(
+                    (e - s) * b, K
+                ),
+            )
+    for i in list(range(a0)) + list(range(max(b0, a0), N)):  # boundary
+        nb = i + offs[valid[i]]
+        tmpl = ((nb * b)[:, None] + np.arange(b, dtype=np.int64)).reshape(-1)
+        for k in range(b):
+            r = i * b + k
+            col_idx[row_ptr[r] : row_ptr[r + 1]] = tmpl
+    values = prefaulted(nnz, np.dtype(dtype))
+    _chunked_random_integers(rng, 1, 10, values)
+    a = sp.csr_matrix((values, col_idx, row_ptr), shape=(m, m))
+    a.has_sorted_indices = True
+    a.has_canonical_format = True
+    return a
+
+
 def single_dense_row(m: int, n: int, row: int = 0, row_nnz: int = 4096, dtype=np.float64, seed: int = 0) -> sp.csr_matrix:
     """One long row among near-empty rows: many consecutive fast-track tiles
     sharing a single output row (calibrator chain stress,

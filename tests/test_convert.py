@@ -218,13 +218,24 @@ def _decode_col_packed(a5):
     ],
 )
 def test_col_packed_decodes_to_columns(make):
+    from benchmark_spmv_using_csr5_tpu.models.formats import col_tiles_of
+
     a_sp = make()
     # packing is gated to sigma % 16 == 0 (NOTES.md: ragged half-planes)
-    a5 = build_csr5(csr_from_scipy(a_sp), CSR5Config(sigma=16))
-    assert a5.col_packed is not None
-    assert a5.pmax <= 512
+    raw = build_csr5(
+        csr_from_scipy(a_sp), CSR5Config(sigma=16), keep_raw_cols=True
+    )
+    assert raw.col_packed is not None
+    assert raw.pmax <= 512
     np.testing.assert_array_equal(
-        _decode_col_packed(a5), np.asarray(a5.col_idx_tiles)
+        _decode_col_packed(raw), np.asarray(raw.col_idx_tiles)
+    )
+    # the default build drops the redundant raw plane (upload compression)
+    # and col_tiles_of reconstructs it bit-for-bit
+    a5 = build_csr5(csr_from_scipy(a_sp), CSR5Config(sigma=16))
+    assert a5.col_idx_tiles is None
+    np.testing.assert_array_equal(
+        np.asarray(col_tiles_of(a5)), np.asarray(raw.col_idx_tiles)
     )
 
 
@@ -251,7 +262,11 @@ def test_col_packed_numpy_fallback_matches_native():
         pytest.skip("native lib unavailable")
     a_sp = synth.random_csr(300, 20_000, 0.01, seed=9).astype(np.float32)
     csr = a_sp.tocsr()
-    a5 = build_csr5((csr.indptr, csr.indices, csr.data, csr.shape), CSR5Config(sigma=16))
+    a5 = build_csr5(
+        (csr.indptr, csr.indices, csr.data, csr.shape),
+        CSR5Config(sigma=16),
+        keep_raw_cols=True,
+    )
     assert a5.col_packed is not None and not a5.pages_contig
     T = a5.config.tile_nnz
     p = a5.num_tiles
@@ -322,3 +337,60 @@ def test_sigma4_short_row_parity():
         np.testing.assert_array_equal(y, a @ x)
         back = csr5_to_csr(a5)
         np.testing.assert_array_equal(np.asarray(back.col_idx), a.indices)
+
+
+def test_value_dtype_auto_bf16_when_lossless():
+    """value_dtype="auto" (the storage precision gate, VERDICT r05 #2):
+    integer-class values store bf16 with BIT-IDENTICAL results; values
+    that do not round-trip bf16 keep f32 storage."""
+    import jax.numpy as jnp
+
+    from benchmark_spmv_using_csr5_tpu.ops.csr5_spmv import csr5_spmv_xla
+
+    a = sp.csr_matrix(synth.banded(3000, 9, dtype=np.float32))
+    csr = (a.indptr, a.indices, a.data, a.shape)
+    x = np.random.default_rng(0).integers(1, 10, 3000).astype(np.float32)
+    auto = build_csr5(csr, CSR5Config(sigma=16), value_dtype="auto")
+    assert auto.val_tiles.dtype == jnp.bfloat16
+    f32 = build_csr5(csr, CSR5Config(sigma=16))
+    assert f32.val_tiles.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(csr5_spmv_xla(auto, x)), np.asarray(csr5_spmv_xla(f32, x))
+    )
+    # non-representable values: gate keeps f32
+    af = a.copy()
+    af.data = af.data * np.float32(1.0009765625)  # needs >8 mantissa bits
+    keep = build_csr5(
+        (af.indptr, af.indices, af.data, af.shape),
+        CSR5Config(sigma=16),
+        value_dtype="auto",
+    )
+    assert keep.val_tiles.dtype == jnp.float32
+
+
+def test_raw_cols_dropped_only_when_packed():
+    # sigma=24 has no packed plane -> raw cols must stay
+    a = sp.csr_matrix(synth.banded(2000, 9, dtype=np.float32))
+    a5 = build_csr5(csr_from_scipy(a), CSR5Config(sigma=24))
+    assert a5.col_packed is None and a5.col_idx_tiles is not None
+    # sigma=16 packs -> raw plane dropped, asCSR still exact (roundtrip
+    # helper covers the decode); keep_raw_cols=True restores it
+    b5 = build_csr5(csr_from_scipy(a), CSR5Config(sigma=16))
+    assert b5.col_packed is not None and b5.col_idx_tiles is None
+    roundtrip(a, CSR5Config(sigma=16))
+    c5 = build_csr5(
+        csr_from_scipy(a), CSR5Config(sigma=16), keep_raw_cols=True
+    )
+    assert c5.col_idx_tiles is not None
+
+
+def test_upload_accounting_recorded():
+    from benchmark_spmv_using_csr5_tpu.ops.convert import last_convert_phases
+
+    a = sp.csr_matrix(synth.banded(2000, 9, dtype=np.float32))
+    a5 = build_csr5(csr_from_scipy(a), CSR5Config(sigma=16))
+    mb = last_convert_phases.get("upload_mb")
+    assert mb is not None and mb > 0
+    # payload = val (4 B) + packed col (2 B) per stored element
+    expect = (a5.val_tiles.size * 4 + a5.col_packed.size * 4) / 1e6
+    assert abs(mb - expect) < 1e-6

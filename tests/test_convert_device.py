@@ -22,7 +22,9 @@ from benchmark_spmv_using_csr5_tpu.utils import synth
 
 def _build_both(a_sp, config=None):
     a_sp = sp.csr_matrix(a_sp).astype(np.float32)
-    host = build_csr5(csr_from_scipy(a_sp), config)
+    # keep_raw_cols: the device twin always materialises col_idx_tiles
+    # (no upload cost on-device), and this parity suite compares it
+    host = build_csr5(csr_from_scipy(a_sp), config, keep_raw_cols=True)
     statics = plan_statics(a_sp.indptr, a_sp.indices, a_sp.shape, config)
     dev = build_csr5_device(
         jnp.asarray(a_sp.indptr, jnp.int64),
