@@ -63,6 +63,7 @@ CASES = [
     "powerlaw200k",
     "dist1_banded500k",  # distributed path on the real chip (1-dev mesh)
     "fem3block600k",  # FEM dense-row-block class (cant/consph shape)
+    "dia_banded2M",  # DIA at scale (the closed round-1 big-m cliff)
     "spmm8_banded500k",
     "spmm16_banded500k",  # MXU band-block path: cost ~flat in R
     "spmmf8_banded500k",  # float-valued SpMM: the bandmm precision gate

@@ -220,7 +220,8 @@ def _run_csr5_case(name: str) -> dict:
         "storage": res.storage,
         "convert_ms": round(res.convert_ms, 1),
         "convert_phases_ms": {
-            k: round(v, 1) for k, v in res.convert_phases.items()
+            k: round(v, 3 if k == "upload_gbps" else 1)
+            for k, v in res.convert_phases.items()
         },
     }
     out.update(extra)
@@ -665,6 +666,57 @@ def _run_dia_case() -> dict:
     return out
 
 
+def _run_dia2m_case() -> dict:
+    """DIA at m=2M (VERDICT r04 weak #5): the round-1 'DIA degrades on
+    big m' cliff (1.8 ms diag-major) was closed by the round-2
+    interleaved (m_pad/128, nd, 128) layout (NOTES: 1.81 -> 0.46 ms);
+    this case records it in the driver artifact, against both the
+    reference CSR byte model and DIA's own stream model."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from ..ops.dia import build_dia, dia_spmv, dia_supported
+    from ..utils import synth
+    from ..utils.perf import get_bytes
+    from .harness import rel_err_device, time_spmv_device_loop
+
+    m, bw, num_run = 2_000_000, 27, _cap_runs(100)
+    a = sp.csr_matrix(synth.banded(m, bw, dtype=np.float32))
+    t0 = time.perf_counter()
+    d = build_dia((a.indptr, a.indices, a.data, a.shape))
+    build_ms = (time.perf_counter() - t0) * 1e3
+    assert d is not None and dia_supported(d)
+    rng = np.random.default_rng(0)
+    x = rng.integers(1, 10, m).astype(np.float32)
+    xd = jnp.asarray(x)
+    rel = rel_err_device(dia_spmv(d, xd), a @ x)
+    ms = time_spmv_device_loop(
+        lambda d_, x_: dia_spmv(d_, x_), xd, num_run, operands=d
+    )
+    gb_ref = get_bytes(m, a.nnz, 4, 4) / 1e9  # reference CSR byte model
+    # DIA's own stream: the dense (padded) diagonal plane + x + y
+    gb_dia = (d.data.size * d.data.dtype.itemsize + 2 * m * 4) / 1e9
+    out = {
+        "name": "dia_banded2M",
+        "spmv_ms": round(ms, 4),
+        "gflops": round(2 * a.nnz / (ms * 1e-3) / 1e9, 2),
+        "pct_roofline": round(gb_ref / (ms * 1e-3) / 8.19, 2),
+        "pct_dia_stream_model": round(gb_dia / (ms * 1e-3) / 8.19, 2),
+        "check_ok": rel <= 0.01,
+        "max_rel_err": float(f"{rel:.3e}"),
+        "backend": "dia_pallas",
+        "ndiag": d.ndiag,
+        "convert_ms": round(build_ms, 1),
+    }
+    print(
+        f"[dia_banded2M] {ms:.4f} ms = {out['pct_roofline']}% of the CSR "
+        f"byte model, {out['pct_dia_stream_model']}% of DIA's own stream "
+        f"({d.ndiag} diags), rel={rel:.1e}",
+        file=sys.stderr,
+    )
+    return out
+
+
 def _run_hyb_case() -> dict:
     """Mixed-structure matrix (dense banded core + scattered noise):
     the HYB5 format-expansion slot (the enum the reference declares but
@@ -761,6 +813,8 @@ def run_one(name: str) -> dict:
         return _run_dia_case()
     if name == "dist1_banded500k":
         return _run_dist1_case()
+    if name == "dia_banded2M":
+        return _run_dia2m_case()
     if name == "spmm16_banded500k":
         return _run_spmm16_case()
     if name == "spmmf8_banded500k":

@@ -57,6 +57,13 @@ PAGE_COLS = 128
 #: max page span for the contiguous-slab gather mode (one dynamic slice
 #: of (pmax,128) per tile instead of pmax scalar-indexed row loads)
 CONTIG_PAGE_CAP = 8
+#: above this nnz, sigma%16!=0 conversions upload the 2 B/nnz packed
+#: code plane and reconstruct the int32 column plane ON DEVICE instead
+#: of uploading 4 B/nnz raw columns: at bench scale the upload is the
+#: dominant conversion cost and is weather-hostage (NOTES.md), while the
+#: one-time device decode is ~0.5 s per 56M elements (XLA gather rate).
+#: Small matrices keep the direct upload (decode would cost more).
+DEVICE_DECODE_MIN_NNZ = 30_000_000
 
 
 # ---------------------------------------------------------------------------
@@ -392,13 +399,21 @@ def build_csr5(
     # local_page indexes the tile's page list; pairs of sigma-rows later
     # combine into one int32 plane on device, HALVING the column bytes the
     # kernel streams (6 B/elem with f32 values, 4 with bf16). Valid while
-    # every local index fits 9 bits (pmax <= 512). Gated to sigma % 16 == 0:
+    # every local index fits 9 bits (pmax <= 512).
+    #
+    # KERNEL streaming of the packed plane is gated to sigma % 16 == 0:
     # the kernel decodes each int32 into two (sigma/2, 128) half-planes,
     # and a non-8-multiple sigma/2 forces ragged sub-vreg ops that cost
     # more than the stream saving (measured: sigma=24 0.41 vs 0.36 ms
     # banded500k, sigma=16/32 a 5-8% win; NOTES.md round-1 session 3).
+    # Other sigmas still build the codes at bench scale so the UPLOAD can
+    # ride the 2 B/nnz plane (device-side reconstruction below).
+    stream_packed = sig % 16 == 0
     col16 = None
-    if pmax <= 512 and sig % 16 == 0:
+    if pmax <= 512 and (
+        stream_packed
+        or (nnz_pad >= DEVICE_DECODE_MIN_NNZ and not keep_raw_cols)
+    ):
         if pages_contig:
             # local = page - slab_lo, broadcast per tile; all temps are
             # arena-backed (3 nnz-scale planes otherwise churn fresh
@@ -538,27 +553,53 @@ def build_csr5(
     # the raw column plane is redundant whenever col_packed exists (exact
     # decode via models.formats.col_tiles_of): skip its transpose AND its
     # 4 B/nnz upload unless the caller streams raw columns
-    drop_raw = col16 is not None and not keep_raw_cols
-    col_tr = (
-        None
-        if drop_raw
-        else nativelib.tile_transpose(
-            col_flat, p_pad, sig, omega, arena="cv:coltr"
-        )
-    )
-    val_tr = nativelib.tile_transpose(val_cast, p_pad, sig, omega, arena="cv:valtr")
+    drop_raw = col16 is not None and stream_packed and not keep_raw_cols
     pk_tr = (
         nativelib.pack_col16(col16, p_pad, sig, omega, arena="cv:pktr")
         if col16 is not None
         else None
     )
+    # sigma%16!=0 at bench scale: the kernel streams raw int32 columns,
+    # but the UPLOAD rides the 2 B/nnz packed codes — the int32 plane is
+    # reconstructed on device (exact inverse; one-time XLA gather). Only
+    # taken with the native packer (the numpy fallback's own host passes
+    # would eat the saving).
+    decode_on_device = (
+        col16 is not None and not stream_packed and pk_tr is not None
+    )
+    col_tr = (
+        None
+        if (drop_raw or decode_on_device)
+        else nativelib.tile_transpose(
+            col_flat, p_pad, sig, omega, arena="cv:coltr"
+        )
+    )
+    val_tr = nativelib.tile_transpose(val_cast, p_pad, sig, omega, arena="cv:valtr")
     _mark("transpose")  # host work only; the device uploads time as "upload"
     # NB: arena-backed host planes MUST be uploaded with jnp.array
     # (copy=True): on the CPU backend jnp.asarray can alias the host
     # buffer zero-copy, and the arena reuses that memory on the next
     # conversion (the TPU path always copies either way)
+    pages_dev = jnp.array(pages, jnp.int32)
     if drop_raw:
         col_tiles = None
+    elif decode_on_device:
+        # upload the 2 B/nnz code plane; the 4 B/nnz int32 plane the
+        # kernel streams is rebuilt on device (models.formats.col_tiles_of
+        # semantics — exact)
+        pk_dev = jnp.array(pk_tr)
+        codes = jnp.concatenate(
+            [pk_dev & 0xFFFF, (pk_dev >> 16) & 0xFFFF], axis=1
+        )
+        lane = codes & 127
+        local = codes >> 7
+        col_tiles = (
+            jnp.take_along_axis(
+                pages_dev, local.reshape(p_pad, sig * omega), axis=1
+            ).reshape(p_pad, sig, omega)
+            * PAGE_COLS
+            + lane
+        )
     elif col_tr is not None:
         col_tiles = jnp.array(col_tr)  # (p, sig, om), pure upload
     else:
@@ -574,7 +615,7 @@ def build_csr5(
         if value_dtype is not None:
             val_tiles = val_tiles.astype(value_dtype)
     col_packed = None
-    if col16 is not None:
+    if col16 is not None and stream_packed:
         if pk_tr is not None:
             col_packed = jnp.array(pk_tr)
         else:
@@ -594,8 +635,17 @@ def build_csr5(
     _mark("upload")
     # uploaded payload observability (VERDICT r04: the phase split showed
     # conversion is upload-bound — now the record also carries how many
-    # bytes rode the link and the achieved rate)
-    up_bytes = sum(t.size * t.dtype.itemsize for t in payload)
+    # bytes rode the link and the achieved rate). In the device-decode
+    # path only the 2 B/nnz code plane crossed the link; the decoded
+    # int32 plane is device compute.
+    uploaded = [val_tiles]
+    if decode_on_device:
+        uploaded.append(pk_dev)
+    elif col_tiles is not None:
+        uploaded.append(col_tiles)
+    if col_packed is not None:
+        uploaded.append(col_packed)
+    up_bytes = sum(t.size * t.dtype.itemsize for t in uploaded)
     _ph["upload_mb"] = up_bytes / 1e6
     if _ph.get("upload", 0.0) > 0:
         _ph["upload_gbps"] = up_bytes / 1e6 / _ph["upload"]
@@ -617,7 +667,7 @@ def build_csr5(
         empty_offset=jnp.asarray(eo, jdt),
         col_idx_tiles=col_tiles,
         val_tiles=val_tiles,
-        pages=jnp.array(pages, jdt),
+        pages=pages_dev,
         pages_contig=pages_contig,
         page_cnt=jnp.asarray(page_cnt, jdt),
         win_map=jnp.array(win_map, jdt),

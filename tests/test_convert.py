@@ -394,3 +394,25 @@ def test_upload_accounting_recorded():
     # payload = val (4 B) + packed col (2 B) per stored element
     expect = (a5.val_tiles.size * 4 + a5.col_packed.size * 4) / 1e6
     assert abs(mb - expect) < 1e-6
+
+
+def test_device_decode_upload_path(monkeypatch):
+    """sigma%16!=0 at bench scale: upload rides the 2 B/nnz code plane
+    and the int32 column plane is reconstructed on device — must be
+    bit-identical to the directly-uploaded plane."""
+    import benchmark_spmv_using_csr5_tpu.ops.convert as cv
+
+    a = sp.csr_matrix(synth.banded(3000, 9, dtype=np.float32))
+    csr = (a.indptr, a.indices, a.data, a.shape)
+    ref = build_csr5(csr, CSR5Config(sigma=24))  # direct upload
+    assert ref.col_idx_tiles is not None and ref.col_packed is None
+    monkeypatch.setattr(cv, "DEVICE_DECODE_MIN_NNZ", 0)
+    dec = cv.build_csr5(csr, CSR5Config(sigma=24))
+    assert dec.col_packed is None  # sigma 24 never streams packed
+    np.testing.assert_array_equal(
+        np.asarray(dec.col_idx_tiles), np.asarray(ref.col_idx_tiles)
+    )
+    # uploaded bytes: val (4) + codes (2) per stored element
+    mb = cv.last_convert_phases["upload_mb"]
+    expect = (dec.val_tiles.size * 4 + dec.val_tiles.size * 2) / 1e6
+    assert abs(mb - expect) < 1e-6
