@@ -93,10 +93,11 @@ def _suite():
         # FEM block structure (SuiteSparse cant/consph class, BASELINE
         # configs[1]): uniform dense 3x3 row blocks, ~63 nnz/row, mid
         # bandwidth — the sigma>=24 + tier-0/1 boundary regime no other
-        # case hits (VERDICT r04 #8). No autotune: the sigma-8 re-tune
-        # targets gather-bound matrices; this one is stream-dense.
+        # case hits (VERDICT r04 #8). Autotuned: the long-scattered-row
+        # re-tune rebuilds at sigma=16 (2.23 vs the heuristic sigma-32's
+        # 3.95 ms, round-5 sweep).
         "fem3block600k": (
-            lambda: synth.fem_blocks(600_000), 1, 100, False, None,
+            lambda: synth.fem_blocks(600_000), 1, 100, True, None,
         ),
         "banded2M": (
             lambda: synth.banded(2_000_000, 27, dtype=np.float32), 1, 100, False, None,

@@ -694,20 +694,29 @@ def build_csr5_autotuned(
     anonymouslib_cuda.h:295-318) sees only mean nnz/row. Measured on TPU
     (NOTES.md): when the conversion lands in the scattered gather tiers
     (pages not contiguous), a smaller sigma wins — fewer distinct pages
-    per tile outweighs having more tiles (scatband300k: sigma 8 is ~8%
-    faster than the heuristic's 16). This helper converts once with the
-    heuristic; if the result is non-contiguous with sigma > 8 it
-    converts again at sigma=8 and returns that. Costs one extra
-    conversion pass — use for matrices that will be applied many times.
+    per tile outweighs having more tiles. Two measured regimes:
+
+    - short scattered rows (heuristic sigma <= 16): sigma=8
+      (scatband300k 16 nnz/row: s8 0.75 vs s16 0.82 ms)
+    - long scattered rows (heuristic sigma >= 24): sigma=16 — keeps the
+      packed column stream while shrinking the per-tile page list
+      (fem3block600k 63 nnz/row: s16 2.23 / s8 2.93 / s24 3.19 /
+      s32 3.95 ms, round-5 sweep)
+
+    Converts once with the heuristic; a non-contiguous result rebuilds
+    at the regime target. Costs one extra conversion pass — use for
+    matrices that will be applied many times.
     """
     a5 = build_csr5(csr, config, value_dtype=value_dtype)
-    if not a5.pages_contig and a5.config.sigma > 8:
-        cfg8 = CSR5Config(
-            omega=a5.config.omega,
-            sigma=8,
-            tiles_per_block=a5.config.tiles_per_block,
-        )
-        a5 = build_csr5(csr, cfg8, value_dtype=value_dtype)
+    if not a5.pages_contig:
+        target = 8 if a5.config.sigma <= 16 else 16
+        if a5.config.sigma != target:
+            cfg_t = CSR5Config(
+                omega=a5.config.omega,
+                sigma=target,
+                tiles_per_block=a5.config.tiles_per_block,
+            )
+            a5 = build_csr5(csr, cfg_t, value_dtype=value_dtype)
     return a5
 
 

@@ -308,7 +308,7 @@ def test_debug_tile_printer():
 def test_autotuned_retunes_scattered_only():
     from benchmark_spmv_using_csr5_tpu import build_csr5_autotuned
 
-    # scattered columns: heuristic sigma 16 -> retuned to 8 (NOTES.md)
+    # scattered short rows: heuristic sigma 16 -> retuned to 8 (NOTES.md)
     scat = sp.csr_matrix(synth.scattered_band(2000, 16, 1500, dtype=np.float32))
     a5 = build_csr5_autotuned((scat.indptr, scat.indices, scat.data, scat.shape))
     assert not a5.pages_contig and a5.config.sigma == 8
@@ -316,6 +316,14 @@ def test_autotuned_retunes_scattered_only():
     band = sp.csr_matrix(synth.banded(2000, 27, dtype=np.float32))
     b5 = build_csr5_autotuned((band.indptr, band.indices, band.data, band.shape))
     assert b5.pages_contig and b5.config.sigma == 24
+    # scattered LONG rows (fem block class, heuristic sigma >= 24):
+    # retuned to 16, keeping the packed column stream (round-5 sweep)
+    fem = sp.csr_matrix(
+        synth.fem_blocks(6000, neighbors=17, node_bandwidth=1200)
+    )
+    f5 = build_csr5_autotuned((fem.indptr, fem.indices, fem.data, fem.shape))
+    assert not f5.pages_contig and f5.config.sigma == 16
+    assert f5.col_packed is not None
 
 
 def test_sigma4_short_row_parity():
