@@ -119,24 +119,49 @@ def build_dia(
     nnz = int(values.shape[0])
     if nnz == 0:
         return None
-    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(row_ptr))
-    off = col_idx - rows
-    uniq, inv = np.unique(off, return_inverse=True)
-    if len(uniq) > max_diags or nnz < min_fill * len(uniq) * m:
-        return None
     m_pad = -(-m // CHUNK_ROWS) * CHUNK_ROWS
     interleaved = layout == "interleaved"
-    # np.add.at sums duplicates (scipy .dia_matrix parity); the
-    # interleaved layout is scattered into directly (a reshape+transpose
-    # afterwards would first-touch a second nnz-scale buffer, NOTES.md
-    # host-write pathology)
-    if interleaved:
-        data = np.zeros((m_pad // LANES, len(uniq), LANES), values.dtype)
-        np.add.at(data, (rows >> 7, inv, rows & (LANES - 1)), values)
-    else:
-        data = np.zeros((len(uniq), m_pad), values.dtype)
-        np.add.at(data, (inv, rows), values)
-    d = jnp.asarray(data)
+
+    # native two-pass build (round 5): the numpy route walks three
+    # nnz-scale int64 temps (repeat'd rows, offsets, unique's SORT) and
+    # finishes with np.add.at — ~64 s driver-recorded at 56M nnz on this
+    # host; the native plan+fill are two plain CSR passes (and the plan
+    # bails at the (max_diags+1)-th distinct offset, so non-diagonal
+    # matrices reject in one cheap scan)
+    from ..utils import nativelib
+
+    data = None
+    if interleaved and values.dtype == np.float32:
+        plan = nativelib.dia_plan(row_ptr, col_idx, m, n, max_diags)
+        if plan is not None:
+            if isinstance(plan, int):  # -1: more than max_diags offsets
+                return None
+            uniq = plan
+            if nnz < min_fill * len(uniq) * m:
+                return None
+            data = nativelib.dia_fill(
+                row_ptr, col_idx, values, uniq, m, n, m_pad,
+                arena="dia:data",
+            )
+    if data is None:
+        rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(row_ptr))
+        off = col_idx - rows
+        uniq, inv = np.unique(off, return_inverse=True)
+        if len(uniq) > max_diags or nnz < min_fill * len(uniq) * m:
+            return None
+        # np.add.at sums duplicates (scipy .dia_matrix parity); the
+        # interleaved layout is scattered into directly (a reshape+
+        # transpose afterwards would first-touch a second nnz-scale
+        # buffer, NOTES.md host-write pathology)
+        if interleaved:
+            data = np.zeros((m_pad // LANES, len(uniq), LANES), values.dtype)
+            np.add.at(data, (rows >> 7, inv, rows & (LANES - 1)), values)
+        else:
+            data = np.zeros((len(uniq), m_pad), values.dtype)
+            np.add.at(data, (inv, rows), values)
+    # arena-backed planes MUST upload with a copy (zero-copy aliasing
+    # hazard on the CPU backend, NOTES.md)
+    d = jnp.array(data)
     if value_dtype is not None:
         d = d.astype(value_dtype)
     return DIAMatrix(

@@ -593,3 +593,58 @@ void bandblock_fill(int64_t m, int64_t m_pad, int64_t K,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// DIA plan + interleaved fill (ops/dia.py). The numpy route materialises
+// three nnz-scale int64 temps (repeat'd rows, offsets, unique's sort) and
+// finishes with np.add.at — tens of seconds per 56M-nnz build on this
+// 1-vCPU host; these are two plain passes over the CSR arrays.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Mark distinct diagonal offsets. marks: (m+n-1) zeroed bytes. Writes the
+// ascending offsets into uniq (capacity cap) and returns their count, or
+// -1 as soon as a (cap+1)-th distinct offset appears (the caller's
+// max_diags gate — bail before scanning the rest).
+int64_t dia_plan(int64_t m, int64_t n, const int64_t* row_ptr,
+                 const int32_t* col_idx, uint8_t* marks, int64_t* uniq,
+                 int64_t cap) {
+  const int64_t base = m - 1;
+  int64_t cnt = 0;
+  for (int64_t r = 0; r < m; ++r) {
+    for (int64_t k = row_ptr[r]; k < row_ptr[r + 1]; ++k) {
+      const int64_t off = static_cast<int64_t>(col_idx[k]) - r + base;
+      if (!marks[off]) {
+        marks[off] = 1;
+        if (++cnt > cap) return -1;
+      }
+    }
+  }
+  int64_t w = 0;
+  for (int64_t o = 0; o < m + n - 1; ++o)
+    if (marks[o]) uniq[w++] = o - base;
+  return cnt;
+}
+
+// Zero + scatter-fill the interleaved (m_pad/128, nd, 128) f32 plane,
+// summing duplicates (scipy dia parity). diag_index maps off+m-1 -> d.
+void dia_fill(int64_t m, int64_t m_pad, int64_t nd, const int64_t* row_ptr,
+              const int32_t* col_idx, const double* val_f64,
+              const float* val_f32, const int32_t* diag_index,
+              float* data) {
+  std::memset(data, 0,
+              static_cast<size_t>(m_pad / 128) * nd * 128 * sizeof(float));
+  const int64_t base = m - 1;
+  for (int64_t r = 0; r < m; ++r) {
+    float* blk = data + (r >> 7) * nd * 128 + (r & 127);
+    for (int64_t k = row_ptr[r]; k < row_ptr[r + 1]; ++k) {
+      const int64_t d =
+          diag_index[static_cast<int64_t>(col_idx[k]) - r + base];
+      const float v = val_f32 ? val_f32[k] : static_cast<float>(val_f64[k]);
+      blk[d * 128] += v;
+    }
+  }
+}
+
+}  // extern "C"

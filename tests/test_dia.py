@@ -232,3 +232,43 @@ def test_dia_spmm_streamed_matches_whole_x():
         dia_mod._dia_spmm_jit.clear_cache()
     np.testing.assert_array_equal(ym_stream, ym_whole)
     np.testing.assert_allclose(ym_stream, a @ xm, atol=1e-5)
+
+
+def test_native_dia_build_matches_numpy():
+    """The native plan+fill (round 5) must reproduce the numpy
+    repeat/unique/add.at route plane-for-plane, duplicates included."""
+    import scipy.sparse as sp
+
+    from benchmark_spmv_using_csr5_tpu.ops.dia import build_dia
+    from benchmark_spmv_using_csr5_tpu.utils import nativelib, synth
+
+    if not nativelib.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    a = sp.csr_matrix(synth.banded(3000, 7, dtype=np.float32))
+    # inject duplicate coordinates via a doubled entry pattern
+    dup = a + a
+    for mat in (a, dup.tocsr()):
+        csr = (mat.indptr, mat.indices, mat.data, mat.shape)
+        d_nat = build_dia(csr)  # f32 interleaved -> native path
+        assert d_nat is not None
+        # force the numpy route by using f64 values (native is f32-only)
+        mat64 = mat.astype(np.float64)
+        d_np = build_dia(
+            (mat64.indptr, mat64.indices, mat64.data, mat64.shape)
+        )
+        assert d_np is not None
+        assert d_nat.offsets == d_np.offsets
+        np.testing.assert_array_equal(
+            np.asarray(d_nat.data),
+            np.asarray(d_np.data).astype(np.float32),
+        )
+
+
+def test_native_dia_plan_rejects_scattered():
+    from benchmark_spmv_using_csr5_tpu.ops.dia import build_dia
+    from benchmark_spmv_using_csr5_tpu.utils import synth
+
+    a = synth.random_csr(400, 400, 0.05, seed=1).tocsr().astype(np.float32)
+    assert build_dia((a.indptr, a.indices, a.data, a.shape)) is None
