@@ -159,11 +159,31 @@ def build_dia(
         else:
             data = np.zeros((len(uniq), m_pad), values.dtype)
             np.add.at(data, (inv, rows), values)
+    if value_dtype == "auto":
+        # lossless-only bf16 (the bandmm/CSR5 storage gate): DIA's data
+        # plane IS its whole stream, so this halves both the upload and
+        # the kernel's HBM traffic at big m (the kernel multiplies in
+        # f32; exact round-trip => bit-identical results)
+        from .bandmm import _bf16_roundtrip_exact
+
+        value_dtype = None
+        if data.dtype == np.float32 and _bf16_roundtrip_exact(values):
+            import ml_dtypes
+
+            value_dtype = ml_dtypes.bfloat16
     # arena-backed planes MUST upload with a copy (zero-copy aliasing
     # hazard on the CPU backend, NOTES.md)
-    d = jnp.array(data)
     if value_dtype is not None:
-        d = d.astype(value_dtype)
+        # cast on host (halves the uploaded bytes, not just the stored);
+        # arena-bounced against the fresh-mapping first-write pathology
+        from ..utils.hostmem import arena_take
+
+        d16 = arena_take(data.shape, np.dtype(value_dtype), "dia:d16",
+                         zero=False)
+        np.copyto(d16, data, casting="unsafe")
+        d = jnp.array(d16)
+    else:
+        d = jnp.array(data)
     return DIAMatrix(
         shape=(m, n),
         offsets=tuple(int(o) for o in uniq),
