@@ -843,8 +843,15 @@ def _prewarm_arena(names) -> None:
     from ..utils import progress
     from ..utils.hostmem import arena_take
 
+    # 4 B/elem planes + the 2 B/elem compression-path planes (codes,
+    # packed transpose, bf16 value cast) — a cold first slice otherwise
+    # pays first-touch passes inside its timed phases (NOTES r5 profile:
+    # slice 1 tpu_plan 29.7 s cold vs 2.2 s warm at the same shape)
     for tag in ("cv:col_flat", "cv:val_flat", "cv:coltr", "cv:valtr"):
         arena_take(nnz_pad * 4, np.uint8, tag, zero=False)
+        progress.emit(f"prewarm:{tag}")
+    for tag in ("cv:col16", "cv:pktr", "cv:valcast"):
+        arena_take(nnz_pad * 2, np.uint8, tag, zero=False)
         progress.emit(f"prewarm:{tag}")
 
 

@@ -563,9 +563,14 @@ def build_csr5(
     # but the UPLOAD rides the 2 B/nnz packed codes — the int32 plane is
     # reconstructed on device (exact inverse; one-time XLA gather). Only
     # taken with the native packer (the numpy fallback's own host passes
-    # would eat the saving).
+    # would eat the saving) and on a real accelerator: the CPU backend's
+    # "upload" is a memcpy while its XLA gather is slow, so decoding
+    # there loses (measured: +tens of seconds at 90M-nnz slices).
     decode_on_device = (
-        col16 is not None and not stream_packed and pk_tr is not None
+        col16 is not None
+        and not stream_packed
+        and pk_tr is not None
+        and jax.default_backend() == "tpu"
     )
     col_tr = (
         None

@@ -415,6 +415,9 @@ def test_device_decode_upload_path(monkeypatch):
     ref = build_csr5(csr, CSR5Config(sigma=24))  # direct upload
     assert ref.col_idx_tiles is not None and ref.col_packed is None
     monkeypatch.setattr(cv, "DEVICE_DECODE_MIN_NNZ", 0)
+    # the path is gated to real accelerators (CPU XLA gather is slow);
+    # fake the backend so the CPU test exercises the decode wiring
+    monkeypatch.setattr(cv.jax, "default_backend", lambda: "tpu")
     dec = cv.build_csr5(csr, CSR5Config(sigma=24))
     assert dec.col_packed is None  # sigma 24 never streams packed
     np.testing.assert_array_equal(
