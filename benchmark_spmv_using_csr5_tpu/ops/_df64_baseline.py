@@ -81,11 +81,11 @@ from .csr5_kernel import (
     build_meta_plane,
 )
 
-#: df64's own block-size cap. The f32 kernel's B=128 default amortizes
-#: its batched window pass-2; this kernel's pass 2 is the per-tile
-#: scalar loop, and bigger blocks only lose (TPU sweep, banded500k:
-#: B32 0.961 / B64 0.982 / B128 1.017 ms — NOTES round 4 session 2).
-DF64_BLOCK_CAP = 32
+#: df64's own block-size cap. With the round-5 BATCHED pass 2 the
+#: per-block fixed costs amortize like the f32 kernel's (TPU sweep on
+#: banded500k, batched kernel: B32 0.624 / B64 0.616 / B128 0.645 ms;
+#: the round-4 "B>32 loses" result applied to the per-tile-loop pass 2).
+DF64_BLOCK_CAP = 64
 
 
 @struct.dataclass
@@ -188,7 +188,8 @@ def df64_supported(d) -> bool:
         min(cfg.tiles_per_block, DF64_BLOCK_CAP), a5.pmax, a5.num_tiles
     )
     blk = 2 * (2 * B * cfg.tile_nnz * 8 + B * a5.capw * 4)
-    scr = 2 * cfg.sigma * B * LANES * 4 + 2 * B * LANES * 4
+    # products + masked-window pairs (4 x (sigma, B*128)) + lane totals
+    scr = 4 * cfg.sigma * B * LANES * 4 + 2 * B * LANES * 4
     vmem = 2 * (a5.n_pad + LANES + a5.m_pad) * 4 + blk + scr
     return vmem <= _VMEM_BUDGET
 
@@ -289,6 +290,8 @@ def _df64_kernel(
     y_ref,  # (2 * m_pad/128, 128) f32 VMEM scratch accumulator pair
     ph_ref,  # (sigma, B*128) f32 scratch: product hi
     pl_ref,  # (sigma, B*128) f32 scratch: product lo
+    pvh_ref,  # (sigma, B*128) f32 scratch: masked window columns hi
+    pvl_ref,  # (sigma, B*128) f32 scratch: masked window columns lo
     lth_ref,  # (B, 128) f32 scratch: lane totals hi
     ltl_ref,  # (B, 128) f32 scratch: lane totals lo
     out_sem,
@@ -413,6 +416,67 @@ def _df64_kernel(
 
     # ---- pass 2: masked window sums + ds window diff + y accumulation --
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (sigma, LANES), 0)
+    if win_rel and G == 1:
+        # batched pass 2 (round 5; mirrors the f32 kernel's, measured
+        # -12% there): per-tile masked window gathers fill the
+        # (sigma, B*128) pv scratch pair, then ONE ds sublane-reduce +
+        # (B,128) carry gather / wrap roll / first-row reset / hi-lo
+        # split replace the per-tile (1,128) ds chains — bit-identical
+        # arithmetic, ~B-fold fewer vector-op issues. Only the
+        # order-dependent per-tile y RMW stays scalar. Wrap-flag bits
+        # 23/24 come from the conversion (win_rel maps only).
+        for b in range(B):
+            wm = win_ref[pl.ds(b, 1), :]
+            ws, wl = wm & 0xFFFF, (wm >> 16) & (LANES - 1)
+            wl_b = jnp.broadcast_to(wl, (sigma, LANES))
+            mask = iota_s <= ws
+            p_h = ph_ref[:, _sl(b)]
+            p_l = pl_ref[:, _sl(b)]
+            pvh_ref[:, _sl(b)] = jnp.where(
+                mask, jnp.take_along_axis(p_h, wl_b, axis=1), 0.0
+            )
+            pvl_ref[:, _sl(b)] = jnp.where(
+                mask, jnp.take_along_axis(p_l, wl_b, axis=1), 0.0
+            )
+        sh_, sl_ = _ds_reduce_sublanes(pvh_ref[:], pvl_ref[:], sigma)
+        Sh = sh_.reshape(B, LANES)
+        Sl = sl_.reshape(B, LANES)
+        wm_all = win_ref[:, :]  # (B, 128); G == 1 so capw == 128
+        wl_all = (wm_all >> 16) & (LANES - 1)
+        ch = jnp.take_along_axis(le_h, wl_all, axis=1)
+        cl = jnp.take_along_axis(le_l, wl_all, axis=1)
+        Wh, Wl = _ds_add(Sh, Sl, ch, cl)
+        first = (wm_all & (1 << 23)) != 0
+        Ph = jnp.where(first, 0.0, pltpu.roll(Wh, 1, axis=1))
+        Pl = jnp.where(first, 0.0, pltpu.roll(Wl, 1, axis=1))
+        W2h, W2l = _ds_add(Wh, Wl, *_ds_neg(Ph, Pl))
+        m24 = (wm_all & (1 << 24)) != 0
+        hi_h = jnp.where(m24, W2h, 0.0)
+        hi_l = jnp.where(m24, W2l, 0.0)
+        lo_h = W2h - hi_h  # exact: componentwise either W2 or 0
+        lo_l = W2l - hi_l
+        for b in range(B):
+            by = meta_ref[b, 0] >> 7
+            Vh = jnp.concatenate(
+                [hi_h[b : b + 1, :], lo_h[b : b + 1, :]], axis=0
+            )
+            Vl = jnp.concatenate(
+                [hi_l[b : b + 1, :], lo_l[b : b + 1, :]], axis=0
+            )
+            yh = y_ref[pl.ds(by, 2), :]
+            yl = y_ref[pl.ds(my_rows + by, 2), :]
+            nh, nl = _ds_add(yh, yl, Vh, Vl)
+            y_ref[pl.ds(by, 2), :] = nh
+            y_ref[pl.ds(my_rows + by, 2), :] = nl
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _flush_batched():
+            cp = pltpu.make_async_copy(y_ref, out_ref, out_sem)
+            cp.start()
+            cp.wait()
+
+        return
+
     for b in range(B):
         rs = meta_ref[b, 0]
         a_off = rs & (LANES - 1)
@@ -513,6 +577,8 @@ def _make_df64_call(p, B, sigma, pmax, capw, n_pad, m_pad, interpret,
             pltpu.VMEM((2 * m_pad // LANES, LANES), jnp.float32),  # y pair
             pltpu.VMEM((sigma, B * LANES), jnp.float32),  # prod hi
             pltpu.VMEM((sigma, B * LANES), jnp.float32),  # prod lo
+            pltpu.VMEM((sigma, B * LANES), jnp.float32),  # masked win hi
+            pltpu.VMEM((sigma, B * LANES), jnp.float32),  # masked win lo
             pltpu.VMEM((B, LANES), jnp.float32),  # lane totals hi
             pltpu.VMEM((B, LANES), jnp.float32),  # lane totals lo
             pltpu.SemaphoreType.DMA(()),

@@ -400,12 +400,11 @@ def _df64_kernel(
             pl_ref[:, _sl(b)] = p_l
 
     # ---- lane totals + batched cross-lane exclusive ds scan ------------
-    for b in range(B):
-        th, tl = _ds_reduce_sublanes(
-            ph_ref[:, _sl(b)], pl_ref[:, _sl(b)], sigma
-        )
-        lth_ref[b : b + 1, :] = th
-        ltl_ref[b : b + 1, :] = tl
+    # ONE ds sublane-reduce over the full (sigma, B*128) product pair
+    # (bit-identical to the per-tile loop: the reduce never mixes lanes)
+    th_all, tl_all = _ds_reduce_sublanes(ph_ref[:], pl_ref[:], sigma)
+    lth_ref[:] = th_all.reshape(B, LANES)
+    ltl_ref[:] = tl_all.reshape(B, LANES)
     li = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
     ih, il = lth_ref[:], ltl_ref[:]
     for sh in (1, 2, 4, 8, 16, 32, 64):
