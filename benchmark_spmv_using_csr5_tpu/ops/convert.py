@@ -432,8 +432,11 @@ def build_csr5(
             col16 = nativelib.col_local_packed(
                 col_flat, p_pad, T, page_sentinel + 1, arena="cv:col16"
             )
-            if col16 is None:
+            if col16 is None and stream_packed:
                 # numpy fallback: rank pages within each tile via argsort
+                # (only worth it when the KERNEL will stream the packed
+                # plane — the upload-decode path needs the native packer
+                # anyway, and this argsort is nnz-scale)
                 pg2 = (col_flat >> 7).reshape(p_pad, T)
                 order = np.argsort(pg2, axis=1, kind="stable")
                 ps = np.take_along_axis(pg2, order, axis=1)
