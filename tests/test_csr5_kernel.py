@@ -168,3 +168,35 @@ def test_effective_block_default_128():
     assert b5.num_tiles == 1
     # huge page lists cap B through the SMEM meta budget
     assert _effective_block(128, 4096, 1024) == 8
+
+
+def test_choose_block_downshifts_on_vmem(monkeypatch):
+    """ADVICE r04: a matrix that fits VMEM at a small block must stay on
+    the Pallas path (at a halved B), not silently fall back to XLA."""
+    import scipy.sparse as sp
+
+    from benchmark_spmv_using_csr5_tpu import CSR5Config, build_csr5
+    from benchmark_spmv_using_csr5_tpu.ops import csr5_kernel as K
+    from benchmark_spmv_using_csr5_tpu.utils import synth
+
+    a = sp.csr_matrix(synth.banded(60_000, 9, dtype=np.float32))
+    a5 = build_csr5(
+        (a.indptr, a.indices, a.data, a.shape),
+        CSR5Config(sigma=16, tiles_per_block=128),
+    )
+    b_full = K._choose_block(a5)
+    assert K.pallas_supported(a5)
+    # shrink the budget to just above the B-independent residency: the
+    # block choice must halve until the estimate fits, and the gate must
+    # keep accepting the matrix
+    resident = (a5.n_pad + K.LANES + a5.m_pad) * 4
+    monkeypatch.setattr(
+        K, "_VMEM_BUDGET", resident + K._vmem_estimate(a5, 1) // 1
+    )
+    b_small = K._choose_block(a5)
+    assert b_small <= b_full
+    assert K._vmem_estimate(a5, b_small) <= K._VMEM_BUDGET
+    assert K.pallas_supported(a5)
+    # an impossible budget (below the resident x/y) must reject
+    monkeypatch.setattr(K, "_VMEM_BUDGET", resident // 2)
+    assert not K.pallas_supported(a5)
