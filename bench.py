@@ -320,10 +320,15 @@ def run_suite(names, results, env_extra=None):
             # A healthy ~2 s probe leaves patience unchanged; the measured
             # 120 s degraded probe scales it up to 3x.
             weather = min(max(_last_probe_s / 10.0, 1.0), 3.0)
+            # past-budget floor is 120 s, not 30: the driver's external
+            # timeout bounds the total anyway, and a weather-slow big
+            # case can legitimately go ~2 min between heartbeats (one
+            # degraded host pass / upload); killing it at 30 s of
+            # silence would discard a case that was about to land
             patience = min(
                 CASE_INACTIVITY_S.get(current, CASE_INACTIVITY_DEFAULT_S)
                 * weather,
-                max(_left(), 30),
+                max(_left(), 120.0),
             )
             line = child.next_line(patience)
             if line is None:
