@@ -79,6 +79,12 @@ def test_driver_primary_ms_reads_compact_then_legacy(tmp_path, monkeypatch):
     )
     # no records -> builder fallback
     assert ge._driver_primary_ms() == 0.2122
+    # a local bench.py full record beats the hardcoded fallback (covers
+    # a driver ordering where multichip runs before BENCH_r05 lands)
+    (tmp_path / "BENCH_full.json").write_text(
+        json.dumps({"primary_ms": 0.212, "value": 99.07})
+    )
+    assert ge._driver_primary_ms() == 0.212
     # legacy (r02) inline-extras form
     (tmp_path / "BENCH_r02.json").write_text(
         json.dumps(
