@@ -415,7 +415,9 @@ def _df64_kernel(
 
     # ---- pass 2: masked window sums + ds window diff + y accumulation --
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (sigma, LANES), 0)
-    if win_rel and G == 1:
+    # B >= 8: Mosaic's lane-gather lowering rejects (B,128) operands
+    # with fewer than 8 sublanes (see the f32 kernel's pass-2 gate)
+    if win_rel and G == 1 and B >= 8:
         # batched pass 2 (round 5; mirrors the f32 kernel's, measured
         # -12% there): per-tile masked window gathers fill the
         # (sigma, B*128) pv scratch pair, then ONE ds sublane-reduce +

@@ -522,7 +522,12 @@ def _spmv_kernel(
         )
 
     # ---- pass 2: window diff + sequential accumulation -------------------
-    if masked_win and win_rel and G == 1:
+    # B >= 8: Mosaic's lane-gather lowering rejects (B,128) operands with
+    # fewer than 8 sublanes ("Shape mismatch in input, indices and
+    # output" at B=1 — tiny matrices pad to a single tile); B=8 is
+    # production-proven (hybmix csr5 part), smaller blocks take the
+    # scalar loop whose (8,128)-broadcast gathers always lower.
+    if masked_win and win_rel and G == 1 and B >= 8:
         # batched pass 2 (the hot configuration: SpMV, wrapped windows,
         # single-group tiles): every per-tile (1,128) op of the scalar
         # loop below becomes ONE (B,128) op — cross-lane carry gather,
