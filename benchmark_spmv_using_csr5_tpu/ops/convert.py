@@ -500,18 +500,22 @@ def build_csr5(
     np.bitwise_or(wq, ridx, out=wq)
     win_map = arena_take((p_pad, capw), np.int32, "cv:winmap", zero=False)
     np.copyto(win_map, wq, casting="unsafe")
-    if win_rel:
-        # wrap-flag bits (packed next to sub|lane<<16; bits 0-9 sub,
-        # 16-22 lane): bit 23 = this slot is the tile's FIRST row
-        # (d == rs%128, the W_prev reset), bit 24 = d >= rs%128 (the
-        # group-0 high-part mask). They let the kernel's batched window
-        # pass derive both per-tile masks as (B,128) vector ops instead
-        # of per-tile scalar broadcasts. Kernels must mask lane reads
-        # with (wm >> 16) & 127.
-        np.greater_equal(d, off, out=wmask)
-        np.add(win_map, 1 << 24, out=win_map, where=wmask)
-        np.equal(d, off, out=wmask)
-        np.add(win_map, 1 << 23, out=win_map, where=wmask)
+    # flag bits (packed next to sub|lane<<16; bits 0-9 sub, 16-22 lane):
+    # bit 23 = this slot is the tile's FIRST row (d == rs%128, the
+    # W_prev reset), bit 24 = d >= rs%128 (wrapped: the group-0
+    # high-part mask; aligned: the valid-slot mask). Set for BOTH
+    # anchorings (identical formula — round 5): they let the kernel's
+    # batched window pass derive the per-tile masks as (B,128) vector
+    # ops instead of per-tile scalar broadcasts; before round 5 aligned
+    # maps lacked them and multi-chip shard kernels fell to the scalar
+    # pass-2 (measured 2.9x slower at B=128). Kernels must mask lane
+    # reads with (wm >> 16) & 127.
+    off_all = rs & 127
+    fmask = arena_take((p_pad, capw), np.bool_, "cv:wmask", zero=False)
+    np.greater_equal(d, off_all, out=fmask)
+    np.add(win_map, 1 << 24, out=win_map, where=fmask)
+    np.equal(d, off_all, out=fmask)
+    np.add(win_map, 1 << 23, out=win_map, where=fmask)
 
     _mark("tpu_plan")
     # --- AoS->SoA tile transpose (format_cuda.h:525-744) ----------------

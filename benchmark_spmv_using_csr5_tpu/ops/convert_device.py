@@ -213,17 +213,15 @@ def tile_window_maps(
         tile_nnz - 1,
     ).astype(jnp.int32)
     out = (win_end % sigma) | ((win_end // sigma) << 16)
-    if win_rel:
-        # wrap-flag bits, bit-for-bit with the host conversion: bit 23 =
-        # first-row slot (d == rs%128), bit 24 = d >= rs%128 (see
-        # convert.build_csr5)
-        off = rs & 127
-        out = (
-            out
-            | jnp.where(d >= off, jnp.int32(1 << 24), jnp.int32(0))
-            | jnp.where(d == off, jnp.int32(1 << 23), jnp.int32(0))
-        )
-    return out
+    # flag bits, bit-for-bit with the host conversion and for BOTH
+    # anchorings (round 5): bit 23 = first-row slot (d == rs%128),
+    # bit 24 = d >= rs%128 (see convert.build_csr5)
+    off = rs & 127
+    return (
+        out
+        | jnp.where(d >= off, jnp.int32(1 << 24), jnp.int32(0))
+        | jnp.where(d == off, jnp.int32(1 << 23), jnp.int32(0))
+    )
 
 
 @partial(

@@ -527,15 +527,18 @@ def _spmv_kernel(
     # output" at B=1 — tiny matrices pad to a single tile); B=8 is
     # production-proven (hybmix csr5 part), smaller blocks take the
     # scalar loop whose (8,128)-broadcast gathers always lower.
-    if masked_win and win_rel and G == 1 and B >= 8:
-        # batched pass 2 (the hot configuration: SpMV, wrapped windows,
-        # single-group tiles): every per-tile (1,128) op of the scalar
-        # loop below becomes ONE (B,128) op — cross-lane carry gather,
-        # wrap roll, first-row reset, group-0 high/low split — leaving
-        # only the order-dependent y accumulation per tile. The per-tile
-        # masks come from the conversion's wrap-flag bits (bit 23 =
-        # first-row slot, bit 24 = d >= rs%128); measured on TPU vs the
-        # scalar loop: banded500k 0.266 -> 0.235 ms (-12%).
+    if masked_win and G == 1 and B >= 8:
+        # batched pass 2 (the hot configuration: SpMV, single-group
+        # tiles, either window anchoring): every per-tile (1,128) op of
+        # the scalar loop below becomes ONE (B,128) op — cross-lane
+        # carry gather, roll, first-row reset / valid-slot masks —
+        # leaving only the order-dependent y accumulation per tile. The
+        # per-tile masks come from the conversion's flag bits (bit 23 =
+        # first-row slot, bit 24 = d >= rs%128, both anchorings since
+        # round 5); measured on TPU vs the scalar loop: wrapped
+        # banded500k 0.266 -> 0.235 ms (-12%); the aligned mode
+        # (multi-chip shard kernels) ran the scalar loop at B=128
+        # before round 5 — measured 2.9x slower than wrapped.
         # R == 1 only: masked_win == (R == 1), and the SpMM wrapper has
         # no de-interleave — a multi-rhs batched pass-2 was measured +25%
         # anyway (NOTES round 3)
@@ -544,14 +547,76 @@ def _spmv_kernel(
         cl_all = jnp.take_along_axis(le_all, wl_all, axis=1)  # (B,128)
         W_end_all = w_all.reshape(B, LANES) + cl_all
         rolled = pltpu.roll(W_end_all, 1, axis=1)
-        W_prev = jnp.where((wm_all & (1 << 23)) != 0, 0.0, rolled)
-        W2 = W_end_all - W_prev
-        hi = jnp.where((wm_all & (1 << 24)) != 0, W2, 0.0)
-        lo = W2 - hi
+        m23 = (wm_all & (1 << 23)) != 0
+        m24 = (wm_all & (1 << 24)) != 0
+        if win_rel:
+            # wrapped: every slot holds a row; the wrap seam is
+            # consecutive, only the first-row slot resets; slots below
+            # rs%128 belong to the NEXT y row (high/low split)
+            W_prev = jnp.where(m23, 0.0, rolled)
+            W2 = W_end_all - W_prev
+            hi = jnp.where(m24, W2, 0.0)
+            lo = W2 - hi
+            for b in range(B):
+                by = meta_ref[b, 0] >> 7
+                V = jnp.concatenate([hi[b : b + 1], lo[b : b + 1]], axis=0)
+                y_ref[pl.ds(by, 2), :] += V
+        else:
+            # aligned: slots below rs%128 are masked out entirely; the
+            # predecessor is valid where slot d-1 >= rs%128 (= bit 24
+            # rolled right by one, lane 0 always invalid)
+            prev_ok = jnp.logical_and(
+                pltpu.roll(m24, 1, axis=1),
+                _lane_iota((B, LANES)) != 0,
+            )
+            W_prev = jnp.where(prev_ok, rolled, 0.0)
+            W2 = jnp.where(m24, W_end_all - W_prev, 0.0)
+            for b in range(B):
+                by = meta_ref[b, 0] >> 7
+                y_ref[pl.ds(by, 1), :] += W2[b : b + 1]
+    elif masked_win and not win_rel and B * G >= 8:
+        # batched ALIGNED pass 2, any G (round 5): aligned capw is
+        # always >= 256 (the +128 headroom rounds up), so the G==1
+        # branch above never fires for aligned maps — this one batches
+        # over the B*G window groups instead (the layouts of w_all and
+        # win_ref are already (b, g) row-major). Before this, aligned
+        # kernels (the multi-chip shard mode) ran the scalar loop at
+        # B=128: measured 2.9x slower than wrapped on banded500k.
+        BG = B * G
+        wm_bg = win_ref[:, :].reshape(BG, LANES)
+        wl_bg = (wm_bg >> 16) & (LANES - 1)
+        le_rep = jnp.broadcast_to(
+            le_all[:, None, :], (B, G, LANES)
+        ).reshape(BG, LANES)
+        cl_bg = jnp.take_along_axis(le_rep, wl_bg, axis=1)
+        W_bg = w_all.reshape(BG, LANES) + cl_bg
+        m24i = (wm_bg >> 24) & 1
+        lane0 = _lane_iota((BG, LANES)) == 0
+        g0row = (
+            jax.lax.broadcasted_iota(jnp.int32, (BG, LANES), 0) % G
+        ) == 0
+
+        def _prev_flat(V):
+            # predecessor across each tile's FLAT (G*128) window: roll
+            # within the group; lane 0 of group g takes lane 127 of
+            # group g-1 (the row above in (BG,128) layout)
+            rolled = pltpu.roll(V, 1, axis=1)
+            if G > 1:
+                up = pltpu.roll(pltpu.roll(V, 1, axis=0), 1, axis=1)
+                return jnp.where(lane0, up, rolled)
+            return rolled
+
+        # slot 0 of group 0 has no predecessor (the axis-0 roll would
+        # wrap in the previous tile's last group)
+        prev_ok = jnp.logical_and(
+            _prev_flat(m24i) == 1,
+            jnp.logical_not(jnp.logical_and(lane0, g0row)),
+        )
+        W_prev = jnp.where(prev_ok, _prev_flat(W_bg), 0.0)
+        W2 = jnp.where(m24i == 1, W_bg - W_prev, 0.0)
         for b in range(B):
             by = meta_ref[b, 0] >> 7
-            V = jnp.concatenate([hi[b : b + 1], lo[b : b + 1]], axis=0)
-            y_ref[pl.ds(by, 2), :] += V
+            y_ref[pl.ds(by, G), :] += W2[b * G : (b + 1) * G]
     else:
         _pass2_scalar(
             B, G, R, sigma, capw, win_rel, masked_win, meta_ref, win_ref,

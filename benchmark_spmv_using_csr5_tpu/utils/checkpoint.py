@@ -31,7 +31,10 @@ from ..ops.dia import DIAMatrix
 #: v2 (round 3): wrapped win_map carries mandatory wrap-flag bits 23/24
 #: (convert.build_csr5) that the batched kernel pass-2 requires — v1
 #: checkpoints would load cleanly and compute silently wrong results
-FORMAT_VERSION = 2
+#: v3 (round 5): ALIGNED win_map now carries the same bits (the aligned
+#: batched pass-2 reads them); a v2 aligned-map checkpoint would load
+#: cleanly and produce zeros from the batched path
+FORMAT_VERSION = 3
 
 
 def _pack_fields(obj) -> tuple:

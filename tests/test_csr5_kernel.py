@@ -200,3 +200,27 @@ def test_choose_block_downshifts_on_vmem(monkeypatch):
     # an impossible budget (below the resident x/y) must reject
     monkeypatch.setattr(K, "_VMEM_BUDGET", resident // 2)
     assert not K.pallas_supported(a5)
+
+
+def test_aligned_batched_pass2_b8():
+    """Aligned maps now carry the flag bits (round 5): at B >= 8 the
+    kernel takes the batched aligned pass-2 — results must match scipy
+    and the wrapped build exactly."""
+    import scipy.sparse as sp
+
+    from benchmark_spmv_using_csr5_tpu import CSR5Config, build_csr5
+    from benchmark_spmv_using_csr5_tpu.ops import csr5_kernel as K
+    from benchmark_spmv_using_csr5_tpu.utils import synth
+
+    a = sp.csr_matrix(synth.banded(2000, 9, dtype=np.float32))
+    csr = (a.indptr, a.indices, a.data, a.shape)
+    x = np.random.default_rng(0).integers(1, 10, 2000).astype(np.float32)
+    al = build_csr5(csr, CSR5Config(sigma=8, tiles_per_block=16),
+                    win_mode="aligned")
+    assert not al.win_rel
+    assert K._choose_block(al) >= 8  # the batched aligned path
+    y = np.asarray(K.csr5_spmv_pallas(al, x, interpret=True))
+    np.testing.assert_array_equal(y, a @ x)
+    wr = build_csr5(csr, CSR5Config(sigma=8, tiles_per_block=16))
+    yw = np.asarray(K.csr5_spmv_pallas(wr, x, interpret=True))
+    np.testing.assert_array_equal(y, yw)
