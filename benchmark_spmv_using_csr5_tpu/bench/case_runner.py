@@ -608,6 +608,17 @@ def _run_dist1_case() -> dict:
         lambda d_, x_: distributed_spmv(d_, x_, mesh, backend=backend),
         xd, num_run, operands=da,
     )
+    # the ALIGNED window mode is what real multi-chip (D>1) shards run
+    # (wrapped maps don't survive cross-shard stacking): record its
+    # kernel cost on the chip too (round 5 batched it, 0.62 -> 0.29 ms)
+    a5_al = build_csr5(
+        (a.indptr, a.indices, a.data, a.shape), win_mode="aligned"
+    )
+    rel_al = rel_err_device(csr5_spmv_pallas(a5_al, xd), y_ref)
+    ms_aligned = time_spmv_device_loop(
+        lambda a_, x_: csr5_spmv_pallas(a_, x_), xd, num_run, operands=a5_al
+    )
+
     gb = get_bytes(m, nnz, 4, 4) / 1e9
     overhead = ms_dist / ms_single - 1.0
     out = {
@@ -615,6 +626,8 @@ def _run_dist1_case() -> dict:
         "spmv_ms": round(ms_dist, 4),
         "single_chip_ms": round(ms_single, 4),
         "overhead_pct": round(overhead * 100, 2),
+        "aligned_shard_ms": round(ms_aligned, 4),
+        "aligned_check_ok": rel_al <= 0.01,
         "gflops": round(2 * nnz / (ms_dist * 1e-3) / 1e9, 2),
         "pct_roofline": round(gb / (ms_dist * 1e-3) / 8.19, 2),
         "check_ok": rel <= 0.01,
